@@ -1,0 +1,90 @@
+"""Render configuration.
+
+Single dataclass replacing the reference's three-tier config system
+(boost::program_options CLI at RayTracingInVulkan/src/Options.cpp:9-72,
+gpgpusim.config knobs, and env vars — see SURVEY.md §5).
+
+The numeric thresholds are the reference's exact values so parity tests are
+bit-meaningful:
+  * k-buffer size k=8            (RayTracingInVulkan/src/Assets/Scene.hpp NextK[..][8])
+  * gaussian cutoff g ∈ [0,5.6]  (assets/shaders/RayTracing.ProceduralGauss.rint:103)
+  * alpha threshold 1/255        (ProceduralGauss.rint:107)
+  * exp LUT: 256 segments on [0,8] (src/Utilities/ExpLUT.hpp:10-24, Scene.cpp:47)
+  * tMin/tMax = 1e-3 / 1e4       (GaussTracing.rgen:50-51)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # --- image / launch ---
+    width: int = 128
+    height: int = 128
+    samples: int = 1          # --samples (spp)
+    bounces: int = 16         # --bounces; for 3DGS these are k-buffer *passes*
+                              # (GaussTracing.rgen:47 reuses NumberOfBounces)
+    shadow_rays: int = 2      # --shadowrays (TraceShadow.rgen semantics)
+    ao_rays: int = 4          # TraceAO.rgen semantics
+
+    # --- 3DGS splatting ---
+    k: int = 8                # per-ray k-nearest hit buffer depth
+    g_cutoff: float = 5.6     # reject splats with 0.5*d'Σ⁻¹d outside [0, g_cutoff]
+    alpha_threshold: float = 1.0 / 255.0
+    max_passes: int = 64      # upper bound on the rgen multi-pass loop
+    use_exp_lut: bool = False # True → 256-seg piecewise-linear exp(-x) (parity);
+                              # False → exact VPU exp (TPU has fast transcendentals)
+    conic_mode: Literal["reference", "standard"] = "standard"
+    # "reference" replicates the reference's quirk of using the 2D covariance
+    # entries directly as the quadratic form (ProceduralGauss.rint:95-102);
+    # "standard" uses the inverse covariance (EWA / INRIA 3DGS), which is what
+    # real scenes require for sensible footprints.
+    cov2d_dilation: float = 0.0  # standard 3DGS adds 0.3 px² to cov2d diagonal;
+                                 # the reference adds none. Enable for .ply scenes.
+    sh_degree: int = 3
+    white_background: bool = False
+
+    # --- ray march bounds ---
+    t_min: float = 1e-3
+    t_max: float = 1e4
+    init_depth: float = 1e4   # k-buffer slot init (Scene.cpp:44 "10000.0")
+
+    # --- tiling (perf path) ---
+    tile_w: int = 16
+    tile_h: int = 16
+    tile_capacity: int = 1024   # max splats blended per tile per frame chunk
+    splat_chunk: int = 256      # splats per VMEM chunk in the tiled kernel
+
+    # --- BVH ---
+    bvh_branching: int = 8      # wide nodes (reference packs 6-wide GEN_RT nodes)
+    bvh_leaf_size: int = 4
+    traversal_stack_depth: int = 64
+
+    # --- path tracing ---
+    has_sky: bool = True
+    gamma_correction: bool = True  # sqrt gamma (RayTracing.rgen:93)
+
+    # --- numerics ---
+    dtype: str = "float32"
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def sh_coeffs(self) -> int:
+        return (self.sh_degree + 1) ** 2
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Reference demo configuration: 16x16 launch, 2 hardcoded gaussians
+# (SceneList.cpp:124-125, GaussTracing.rgen:27 "ray_id = x + 16*y").
+REFERENCE_DEMO = RenderConfig(
+    width=16, height=16, samples=1, bounces=4, k=8,
+    use_exp_lut=True, conic_mode="reference", gamma_correction=False,
+)

@@ -1,0 +1,301 @@
+"""Flagship model: ray-traced 3D Gaussian Splatting renderer.
+
+Two execution paths over the same math (gsrt.ops.gaussian / kbuffer / sh):
+
+* `render_reference` — exact replication of the reference's multi-pass
+  k-buffer algorithm (GaussTracing.rgen:47-72 driving
+  RayTracing.ProceduralGauss.{rint,rchit}): per pass, gather the k nearest
+  splats beyond the per-pixel depth front, composite, advance the front,
+  repeat until a pass is empty. Implemented as a `lax.while_loop` over
+  batched pixel state — the per-warp intersection tables and per-thread PTX
+  interpretation of the reference (vulkan_ray_tracing.cc:1052-1090,
+  intersection_table.cc) collapse into dense [P, chunk] VPU ops.
+
+* `render_fast` — single-pass front-to-back blend over splats globally
+  sorted by camera-space depth. Because a splat's depth (camera z of its
+  center, ProceduralGauss.rint:67-68) is the same for every pixel, the global
+  sort yields the exact per-pixel visit order, so this computes *identical*
+  transmittance/color to the multi-pass scheme in one sweep — the TPU-native
+  reformulation of the whole rgen/rint/rchit state machine.
+
+Both paths stream splats in fixed-size chunks (static shapes for XLA) and
+carry no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gsrt.core.config import RenderConfig
+from gsrt.core.types import Camera, GaussianCloud
+from gsrt.ops import explut
+from gsrt.ops.gaussian import eval_gaussian_response, project_gaussians
+from gsrt.ops.kbuffer import (
+    advance_depth_front,
+    composite_color,
+    composite_transmittance,
+    topk_nearest,
+)
+from gsrt.ops.sh import eval_sh
+
+
+def _pixel_grid(width: int, height: int) -> jnp.ndarray:
+    """[H*W, 2] pixel centers at integer coordinates (the reference evaluates
+    g at integer pixel coords, ProceduralGauss.rint:58,100-101)."""
+    ys, xs = jnp.mgrid[0:height, 0:width]
+    return jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(jnp.float32)
+
+
+def _precompute(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig):
+    """Project all splats; evaluate per-splat SH color (view dir from camera
+    origin to splat center — constant per splat, standard 3DGS convention)."""
+    depth, mean2d, quad, det, in_front = project_gaussians(
+        cloud.means, cloud.cov3d, camera,
+        conic_mode=cfg.conic_mode, cov2d_dilation=cfg.cov2d_dilation)
+    dirs = cloud.means - camera.position
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+    degree = min(cfg.sh_degree, cloud.sh_degree)
+    colors = eval_sh(cloud.sh, dirs, degree)
+    return depth, mean2d, quad, in_front, colors
+
+
+def _chunk_alphas(pix, mean2d_c, quad_c, depth_c, opacity_c, in_front_c,
+                  cfg: RenderConfig, lut):
+    """Evaluate splat alphas for a [P,2] pixel block × [C] splat chunk.
+
+    Returns alpha [P, C] and accept mask [P, C]."""
+    g = eval_gaussian_response(pix[:, None, :], mean2d_c[None, :, :],
+                               quad_c[None, :, :])                    # [P, C]
+    in_range = (g >= 0.0) & (g <= cfg.g_cutoff)
+    gc = jnp.where(in_range, g, 0.0)
+    power = explut.linear_exp(gc, lut) if cfg.use_exp_lut else jnp.exp(-gc)
+    alpha = opacity_c[None, :] * power
+    if cfg.conic_mode == "standard":
+        alpha = jnp.minimum(alpha, 0.99)
+    accept = in_range & (alpha > cfg.alpha_threshold) & in_front_c[None, :]
+    return jnp.where(accept, alpha, 0.0), accept
+
+
+def _pad_splats(arrs, n: int, chunk: int):
+    """Pad leading splat axis to a multiple of `chunk`."""
+    pad = (-n) % chunk
+    if pad == 0:
+        return arrs, n
+    out = []
+    for a in arrs:
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, widths))
+    return out, n + pad
+
+
+def _empty_output(camera: Camera, cfg: RenderConfig) -> "RenderOutput":
+    H, W = camera.height, camera.width
+    bg = 1.0 if cfg.white_background else 0.0
+    return RenderOutput(trans=jnp.ones((H, W)),
+                        color=jnp.full((H, W, 3), bg),
+                        passes=jnp.zeros((H, W), jnp.int32),
+                        hits=jnp.zeros((H, W), jnp.int32))
+
+
+class RenderOutput(NamedTuple):
+    trans: jnp.ndarray    # [H, W] final transmittance (reference's Ray.Trans)
+    color: jnp.ndarray    # [H, W, 3]
+    passes: jnp.ndarray   # [H, W] int32 — k-buffer passes per pixel
+                          #   (render_fast reports equivalent ceil(hits/k))
+    hits: jnp.ndarray     # [H, W] int32 — splats blended per pixel
+
+
+def render_reference(cloud: GaussianCloud, camera: Camera,
+                     cfg: RenderConfig) -> RenderOutput:
+    """Exact multi-pass k-buffer semantics (see module docstring)."""
+    if cloud.n == 0:
+        return _empty_output(camera, cfg)
+    depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
+    lut = explut.build_exp_lut() if cfg.use_exp_lut else None
+
+    chunk = min(cfg.splat_chunk, max(cloud.n, 8))
+    (depth, mean2d, quad, opac, in_front, colors), n_pad = _pad_splats(
+        [depth, mean2d, quad, cloud.opacity, in_front, colors], cloud.n, chunk)
+    # padded lanes: in_front=False keeps them out of every pass
+    n_chunks = n_pad // chunk
+
+    pix = _pixel_grid(camera.width, camera.height)        # [P, 2]
+    P = pix.shape[0]
+    k = cfg.k
+    init_d = jnp.float32(cfg.init_depth)
+
+    def one_pass(front):
+        """Gather the k nearest splats beyond `front` for every pixel by
+        merging per-chunk top-k buffers (replaces NextK insert-sort)."""
+        def body(c, carry):
+            kd, ka = carry
+            sl = slice(None)  # noqa
+            ds = jax.lax.dynamic_slice_in_dim(depth, c * chunk, chunk)
+            m2 = jax.lax.dynamic_slice_in_dim(mean2d, c * chunk, chunk)
+            qd = jax.lax.dynamic_slice_in_dim(quad, c * chunk, chunk)
+            op = jax.lax.dynamic_slice_in_dim(opac, c * chunk, chunk)
+            inf = jax.lax.dynamic_slice_in_dim(in_front, c * chunk, chunk)
+            alpha, accept = _chunk_alphas(pix, m2, qd, ds, op, inf, cfg, lut)
+            valid = accept & (ds[None, :] > front[:, None])   # depth-front cull
+            cd = jnp.where(valid, ds[None, :], init_d)
+            # merge with running k-buffer
+            md = jnp.concatenate([kd, cd], axis=-1)
+            ma = jnp.concatenate([ka, jnp.where(valid, alpha, 0.0)], axis=-1)
+            kd2, ka2, _ = topk_nearest(md, ma, md < init_d, k, cfg.init_depth)
+            return kd2, ka2
+
+        kd0 = jnp.full((P, k), init_d)
+        ka0 = jnp.zeros((P, k))
+        kd, ka = jax.lax.fori_loop(0, n_chunks, body, (kd0, ka0))
+        count = jnp.sum(kd < init_d, axis=-1).astype(jnp.int32)
+        return kd, ka, count
+
+    # colors for the k selected splats need indices; in reference mode only
+    # trans matters, but we support color by re-looking-up via depth match.
+    # Simpler: run the pass loop for (trans, front), and composite color by
+    # the mathematically-equal sorted sweep in render_fast. Here we composite
+    # color from the k-buffer by carrying per-chunk colors through the merge.
+    def one_pass_with_color(front):
+        def body(c, carry):
+            kd, ka, kc = carry
+            ds = jax.lax.dynamic_slice_in_dim(depth, c * chunk, chunk)
+            m2 = jax.lax.dynamic_slice_in_dim(mean2d, c * chunk, chunk)
+            qd = jax.lax.dynamic_slice_in_dim(quad, c * chunk, chunk)
+            op = jax.lax.dynamic_slice_in_dim(opac, c * chunk, chunk)
+            inf = jax.lax.dynamic_slice_in_dim(in_front, c * chunk, chunk)
+            col = jax.lax.dynamic_slice_in_dim(colors, c * chunk, chunk)
+            alpha, accept = _chunk_alphas(pix, m2, qd, ds, op, inf, cfg, lut)
+            valid = accept & (ds[None, :] > front[:, None])
+            cd = jnp.where(valid, ds[None, :], init_d)
+            md = jnp.concatenate([kd, cd], axis=-1)
+            ma = jnp.concatenate([ka, jnp.where(valid, alpha, 0.0)], axis=-1)
+            ccol = jnp.broadcast_to(col[None, :, :], (P, chunk, 3))
+            mc = jnp.concatenate([kc, ccol], axis=-2)
+            neg_d, idx = jax.lax.top_k(-md, k)
+            kd2 = -neg_d
+            ka2 = jnp.take_along_axis(ma, idx, axis=-1)
+            kc2 = jnp.take_along_axis(mc, idx[..., None], axis=-2)
+            return kd2, ka2, kc2
+
+        kd0 = jnp.full((P, k), init_d)
+        ka0 = jnp.zeros((P, k))
+        kc0 = jnp.zeros((P, k, 3))
+        kd, ka, kc = jax.lax.fori_loop(0, n_chunks, body, (kd0, ka0, kc0))
+        count = jnp.sum(kd < init_d, axis=-1).astype(jnp.int32)
+        return kd, ka, kc, count
+
+    def cond(state):
+        front, trans, color, passes, done = state
+        return jnp.logical_not(jnp.all(done))
+
+    def step(state):
+        front, trans, color, passes, done = state
+        kd, ka, kc, count = one_pass_with_color(front)
+        miss = count == 0
+        new_trans, new_color = composite_color(trans, color, ka, kc, count)
+        new_front = advance_depth_front(front, kd, count)
+        live = jnp.logical_not(done)
+        trans = jnp.where(live, new_trans, trans)
+        color = jnp.where(live[:, None], new_color, color)
+        front = jnp.where(live, new_front, front)
+        passes = passes + jnp.where(live & ~miss, 1, 0)
+        done = done | miss | (passes >= cfg.max_passes)
+        return front, trans, color, passes, done
+
+    state = (
+        jnp.zeros(P),                 # depth front (rgen:30 "Rays.Depth = 0")
+        jnp.ones(P),                  # transmittance (rgen:31 "Ray.Trans = 1")
+        jnp.zeros((P, 3)),
+        jnp.zeros(P, jnp.int32),
+        jnp.zeros(P, bool),
+    )
+    front, trans, color, passes, done = jax.lax.while_loop(cond, step, state)
+
+    if cfg.white_background:
+        color = color + trans[:, None]
+
+    H, W = camera.height, camera.width
+    return RenderOutput(
+        trans=trans.reshape(H, W),
+        color=color.reshape(H, W, 3),
+        passes=passes.reshape(H, W),
+        hits=jnp.zeros((H, W), jnp.int32),
+    )
+
+
+def render_fast(cloud: GaussianCloud, camera: Camera,
+                cfg: RenderConfig) -> RenderOutput:
+    """Single-sweep sorted front-to-back blend (see module docstring)."""
+    if cloud.n == 0:
+        return _empty_output(camera, cfg)
+    depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
+    lut = explut.build_exp_lut() if cfg.use_exp_lut else None
+
+    # Global depth sort = exact per-pixel visit order (depth is per-splat).
+    order = jnp.argsort(jnp.where(in_front, depth, jnp.inf))
+    depth = depth[order]
+    mean2d = mean2d[order]
+    quad = quad[order]
+    opac = cloud.opacity[order]
+    in_front_s = in_front[order]
+    colors = colors[order]
+
+    chunk = min(cfg.splat_chunk, max(cloud.n, 8))
+    (depth, mean2d, quad, opac, in_front_s, colors), n_pad = _pad_splats(
+        [depth, mean2d, quad, opac, in_front_s, colors], cloud.n, chunk)
+    n_chunks = n_pad // chunk
+
+    pix = _pixel_grid(camera.width, camera.height)
+    P = pix.shape[0]
+
+    def body(c, carry):
+        trans, color, hits = carry
+        ds = jax.lax.dynamic_slice_in_dim(depth, c * chunk, chunk)
+        m2 = jax.lax.dynamic_slice_in_dim(mean2d, c * chunk, chunk)
+        qd = jax.lax.dynamic_slice_in_dim(quad, c * chunk, chunk)
+        op = jax.lax.dynamic_slice_in_dim(opac, c * chunk, chunk)
+        inf = jax.lax.dynamic_slice_in_dim(in_front_s, c * chunk, chunk)
+        col = jax.lax.dynamic_slice_in_dim(colors, c * chunk, chunk)
+        alpha, accept = _chunk_alphas(pix, m2, qd, ds, op, inf, cfg, lut)
+        # front-to-back within the chunk via exclusive cumprod (splats are
+        # depth-sorted, so chunk order == blend order)
+        one_minus = 1.0 - alpha
+        cum = jnp.cumprod(one_minus, axis=-1)
+        excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], -1)
+        w = alpha * excl * trans[:, None]                       # [P, C]
+        # [P,C]@[C,3] on the MXU; HIGHEST avoids the bf16 default-precision path
+        color = color + jnp.dot(w, col, precision=jax.lax.Precision.HIGHEST)
+        trans = trans * cum[:, -1]
+        hits = hits + jnp.sum(accept, axis=-1).astype(jnp.int32)
+        return trans, color, hits
+
+    trans, color, hits = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.ones(P), jnp.zeros((P, 3)), jnp.zeros(P, jnp.int32)))
+
+    if cfg.white_background:
+        color = color + trans[:, None]
+
+    H, W = camera.height, camera.width
+    passes = -(-hits // cfg.k)  # equivalent pass count
+    return RenderOutput(trans=trans.reshape(H, W),
+                        color=color.reshape(H, W, 3),
+                        passes=passes.reshape(H, W),
+                        hits=hits.reshape(H, W))
+
+
+class GaussianRayTracer:
+    """Convenience wrapper choosing the execution path and jitting it."""
+
+    def __init__(self, cfg: RenderConfig, mode: str = "fast"):
+        self.cfg = cfg
+        self.mode = mode
+        fn = {"fast": render_fast, "reference": render_reference}[mode]
+        self._render = jax.jit(functools.partial(fn, cfg=cfg))
+
+    def __call__(self, cloud: GaussianCloud, camera: Camera) -> RenderOutput:
+        return self._render(cloud, camera)

@@ -1,0 +1,87 @@
+"""Per-ray k-nearest hit buffer and front-to-back compositing.
+
+Replaces the reference's bubble insert-sort into NextK[ray][8]
+(RayTracing.ProceduralGauss.rint:24-43 CompareSwap/InsertNewSplat) with a
+vectorized top-k selection, and the rchit transmittance loop
+(ProceduralGauss.rchit:22-31) with batched scans.
+
+Reference semantics preserved:
+  * slots initialized to depth = 1e4 (Scene.cpp:44);
+  * an accepted splat always swaps in if nearer than some slot → with k slots
+    the buffer holds the k smallest depths in ascending order;
+  * GaussNum counts accepted splats this pass (may exceed k in the reference,
+    an OOB quirk — we clamp to k, which is the only sane reading);
+  * transmittance: T *= Π(1−αᵢ) over the buffered splats (rchit:23-26);
+  * depth front advances to the last buffered depth (rchit:30-31).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_nearest(depth, alpha, valid, k: int, init_depth: float = 1e4):
+    """Select the k nearest (smallest-depth) valid hits per ray.
+
+    depth, alpha, valid: [..., M] over candidate splats.
+    Returns (kd [...,k] ascending, ka [...,k], count [...] int32) where
+    invalid slots carry depth=init_depth, alpha=0.
+    """
+    big = jnp.asarray(init_depth, depth.dtype)
+    d = jnp.where(valid, depth, big)
+    m = d.shape[-1]
+    if m < k:  # lax.top_k needs k ≤ axis size; pad with empty slots
+        pad = [(0, 0)] * (d.ndim - 1) + [(0, k - m)]
+        d = jnp.pad(d, pad, constant_values=init_depth)
+        alpha = jnp.pad(alpha, pad)
+        valid = jnp.pad(valid, pad)
+    # top_k returns the k largest; negate to get smallest.
+    neg_d, idx = jax.lax.top_k(-d, k)
+    kd = -neg_d
+    ka = jnp.take_along_axis(jnp.where(valid, alpha, 0.0), idx, axis=-1)
+    ka = jnp.where(kd < big, ka, 0.0)
+    count = jnp.minimum(jnp.sum(valid, axis=-1), k).astype(jnp.int32)
+    return kd, ka, count
+
+
+def composite_transmittance(trans, k_alpha, count):
+    """T ← T·Π_{i<count}(1−αᵢ)  (ProceduralGauss.rchit:22-27)."""
+    k = k_alpha.shape[-1]
+    lane = jnp.arange(k)
+    live = lane < count[..., None]
+    factors = jnp.where(live, 1.0 - k_alpha, 1.0)
+    return trans * jnp.prod(factors, axis=-1)
+
+
+def advance_depth_front(front, k_depth, count):
+    """front ← depth of the last buffered splat (rchit:30-31); unchanged on miss."""
+    k = k_depth.shape[-1]
+    idx = jnp.clip(count - 1, 0, k - 1)
+    last = jnp.take_along_axis(k_depth, idx[..., None], axis=-1)[..., 0]
+    return jnp.where(count > 0, last, front)
+
+
+def composite_color(trans, color, k_alpha, k_color, count):
+    """Front-to-back alpha blending with color (beyond the reference, which
+    never accumulates color — needed for the PSNR north star).
+
+    C ← C + Σᵢ cᵢ·αᵢ·T·Π_{j<i}(1−αⱼ);  T ← T·Π(1−αᵢ).
+    k_color: [..., k, 3] per-splat RGB. Uses an exclusive cumprod so the whole
+    k-slab blends in one vector op (no sequential scan over k).
+    """
+    k = k_alpha.shape[-1]
+    lane = jnp.arange(k)
+    live = lane < count[..., None]
+    a = jnp.where(live, k_alpha, 0.0)
+    one_minus = 1.0 - a
+    # exclusive cumulative product along k
+    cum = jnp.cumprod(one_minus, axis=-1)
+    excl = jnp.concatenate([jnp.ones_like(cum[..., :1]), cum[..., :-1]], axis=-1)
+    w = a * excl * trans[..., None]                      # [..., k]
+    # precision=HIGHEST: the default matmul path accumulates in bf16 (~0.4%
+    # error), visible in color parity tests.
+    color = color + jnp.einsum("...k,...kc->...c", w, k_color,
+                               precision=jax.lax.Precision.HIGHEST)
+    trans = trans * cum[..., -1]
+    return trans, color
