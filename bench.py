@@ -1,0 +1,75 @@
+"""Headline benchmark: Mrays/s/chip for the flagship tiled 3DGS renderer.
+
+Workload: 1M-splat synthetic Gaussian cloud at 1920x1080, SH degree 3,
+depth-sorted front-to-back blend through the full pipeline
+(projection → tile binning → Pallas blend kernel). The Mip-NeRF360 garden
+.ply itself is not available in this zero-egress environment, so the cloud
+is synthesized at comparable splat count and screen-footprint statistics
+(~4-8 px median radius, ~100 blended splats per pixel).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 100 Mrays/s (the BASELINE.json north-star target).
+
+Timing note: sync via a jitted scalar reduction fetched to host —
+jax.block_until_ready() is a no-op through the axon TPU tunnel.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.gaussian_rt import render_fast, render_tiled
+    from gsrt.scene.catalog import random_cloud
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        W, H, N = 1920, 1080, 1_000_000
+    else:  # CPU fallback so the script still runs without a TPU
+        W, H, N = 256, 128, 20_000
+    cfg = RenderConfig(width=W, height=H, conic_mode="standard")
+    cloud, camera = random_cloud(N, seed=0, width=W, height=H,
+                                 scale_range=(0.004, 0.03))
+
+    if on_tpu:
+        render = functools.partial(render_tiled, cfg=cfg, max_pairs=1 << 23)
+    else:
+        render = functools.partial(render_fast, cfg=cfg)
+
+    @jax.jit
+    def step(cloud, camera):
+        out = render(cloud, camera)
+        # scalar checksum: forces the full pipeline, syncs via 4-byte fetch
+        return out.trans.sum() + out.color.sum()
+
+    checksum = float(step(cloud, camera))  # compile + first run
+    assert checksum == checksum, "NaN checksum"
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(step(cloud, camera))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    rays = W * H  # primary rays per frame (1 spp) — the reference's Mrays/s
+    # definition: W·H·spp / frame time (RayTracer.cpp:180-183)
+    mrays = rays / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays/s/chip (1M-splat 3DGS @1080p, tiled Pallas)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

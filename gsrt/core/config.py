@@ -53,10 +53,12 @@ class RenderConfig:
     init_depth: float = 1e4   # k-buffer slot init (Scene.cpp:44 "10000.0")
 
     # --- tiling (perf path) ---
-    tile_w: int = 16
-    tile_h: int = 16
-    tile_capacity: int = 1024   # max splats blended per tile per frame chunk
-    splat_chunk: int = 256      # splats per VMEM chunk in the tiled kernel
+    # image tiles are 8x128 pixels — one f32 VPU register — fixed by the
+    # Pallas kernel (gsrt/ops/splat_pallas.py TILE_H/TILE_W)
+    tile_w: int = 128
+    tile_h: int = 8
+    pair_chunk: int = 128       # pairs per kernel chunk (multiple of 128)
+    splat_chunk: int = 256      # splats per chunk in the brute-force paths
 
     # --- BVH ---
     bvh_branching: int = 8      # wide nodes (reference packs 6-wide GEN_RT nodes)

@@ -33,7 +33,11 @@ import jax.numpy as jnp
 from gsrt.core.config import RenderConfig
 from gsrt.core.types import Camera, GaussianCloud
 from gsrt.ops import explut
-from gsrt.ops.gaussian import eval_gaussian_response, project_gaussians
+from gsrt.ops.gaussian import (
+    eval_gaussian_response,
+    project_gaussians,
+    screen_radius,
+)
 from gsrt.ops.kbuffer import (
     advance_depth_front,
     composite_color,
@@ -288,14 +292,70 @@ def render_fast(cloud: GaussianCloud, camera: Camera,
                         hits=hits.reshape(H, W))
 
 
+def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
+                 max_pairs: int = 1 << 20,
+                 interpret: bool = False) -> RenderOutput:
+    """Tile-binned splatting — the performance path (SURVEY.md §7.3 steps 4-6).
+
+    Projects all splats, bins their footprints to 16x16-pixel tiles with one
+    global (tile, depth) sort (gsrt.ops.tile_binning), then blends each
+    tile's chunk-aligned pair list front-to-back in a Pallas kernel
+    (gsrt.ops.splat_pallas). Work scales with Σ per-tile pairs instead of
+    pixels × splats. Exact-exp only (no LUT mode).
+    """
+    from gsrt.ops.splat_pallas import blend_tiles
+    from gsrt.ops.tile_binning import build_tile_binning
+
+    if cloud.n == 0:
+        return _empty_output(camera, cfg)
+    depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
+    radius = screen_radius(quad, cfg.conic_mode, cfg.g_cutoff)
+    alive = in_front & (cloud.opacity > cfg.alpha_threshold)
+
+    from gsrt.ops.splat_pallas import TILE_H, TILE_W
+
+    binning = build_tile_binning(
+        depth, mean2d, quad, cloud.opacity, colors, radius, alive,
+        width=camera.width, height=camera.height,
+        tile_w=TILE_W, tile_h=TILE_H,
+        chunk=cfg.pair_chunk, max_pairs=max_pairs)
+
+    alpha_clamp = 0.99 if cfg.conic_mode == "standard" else 0.999999
+    color, trans = blend_tiles(
+        binning, width=camera.width, height=camera.height,
+        chunk=cfg.pair_chunk,
+        g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
+        alpha_clamp=alpha_clamp, interpret=interpret)
+
+    if cfg.white_background:
+        color = color + trans[..., None]
+
+    H, W = camera.height, camera.width
+    th, tw = TILE_H, TILE_W
+    # per-pixel hit counts are not tracked in the fused kernel; report the
+    # tile's pair count for every pixel of the tile (metrics-grade, not exact)
+    ntx = -(-W // tw)
+    nty = -(-H // th)
+    tile_hits = binning.tile_count.reshape(nty, ntx)
+    hits = jnp.repeat(jnp.repeat(tile_hits, th, 0), tw, 1)[:H, :W]
+    return RenderOutput(trans=trans, color=color,
+                        passes=-(-hits // cfg.k), hits=hits)
+
+
 class GaussianRayTracer:
     """Convenience wrapper choosing the execution path and jitting it."""
 
-    def __init__(self, cfg: RenderConfig, mode: str = "fast"):
+    def __init__(self, cfg: RenderConfig, mode: str = "fast",
+                 max_pairs: int = 1 << 20):
         self.cfg = cfg
         self.mode = mode
-        fn = {"fast": render_fast, "reference": render_reference}[mode]
-        self._render = jax.jit(functools.partial(fn, cfg=cfg))
+        if mode == "tiled":
+            fn = functools.partial(render_tiled, cfg=cfg, max_pairs=max_pairs)
+        else:
+            fn = functools.partial(
+                {"fast": render_fast, "reference": render_reference}[mode],
+                cfg=cfg)
+        self._render = jax.jit(fn)
 
     def __call__(self, cloud: GaussianCloud, camera: Camera) -> RenderOutput:
         return self._render(cloud, camera)

@@ -142,8 +142,8 @@ def project_gaussians(
     return depth, mean2d, quad, det, in_front
 
 
-def screen_radius(quad: jnp.ndarray, det2d: jnp.ndarray,
-                  conic_mode: str, g_cutoff: float) -> jnp.ndarray:
+def screen_radius(quad: jnp.ndarray, conic_mode: str,
+                  g_cutoff: float) -> jnp.ndarray:
     """Conservative pixel radius of the region where g ≤ g_cutoff.
 
     g = ½ dᵀQd ≤ G  ⇔  dᵀQd ≤ 2G: an ellipse with max radius

@@ -1,0 +1,154 @@
+"""Multi-chip rendering via jax.sharding + shard_map.
+
+The reference is a single-GPU stack (SURVEY.md §2.5 — no NCCL/MPI anywhere);
+its only parallel axes are the SIMT launch grid and the simulated NoC. This
+module supplies the missing distributed layer TPU-natively:
+
+* **Image-tile data parallelism** (`render_data_parallel`): the image plane
+  is sharded in row slabs across the `tiles` mesh axis; the Gaussian cloud is
+  replicated. Each chip renders its slab with a cy-shifted camera — a pure
+  output shard, zero collectives on the hot path (framebuffer assembly is
+  the output sharding itself, riding ICI only on host gather).
+
+* **Splat sharding** (`render_splat_sharded`): for scenes exceeding one
+  chip's HBM, splats are sharded in contiguous **depth slabs** along the
+  `splats` axis (pre-sorted by camera depth). Each chip blends its slab for
+  its row slab, then an `all_gather` of per-slab (color, transmittance)
+  composites across shards in slab order:
+      C = Σ_d C_d · Π_{d'<d} T_d'   ,   T = Π_d T_d
+  — front-to-back compositing is associative over depth-contiguous groups,
+  the same identity the k-buffer multi-pass scheme exploits
+  (GaussTracing.rgen:47-72).
+
+All functions are jit-compatible and run on a CPU mesh
+(`--xla_force_host_platform_device_count`) for testing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gsrt.core.config import RenderConfig
+from gsrt.core.types import Camera, GaussianCloud
+
+
+def make_render_mesh(n_tiles: int, n_splats: int = 1,
+                     devices=None) -> Mesh:
+    """Mesh over ('tiles', 'splats'): image-slab DP × depth-slab splat
+    sharding. Lay the splat axis innermost so its all_gather rides
+    neighboring ICI links."""
+    devices = devices if devices is not None else jax.devices()
+    n = n_tiles * n_splats
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dev = np.asarray(devices[:n]).reshape(n_tiles, n_splats)
+    return Mesh(dev, ("tiles", "splats"))
+
+
+def _slab_camera(camera: Camera, y0, slab_h: int) -> Camera:
+    """Camera for image rows [y0, y0+slab_h): shift the principal point."""
+    return Camera(view=camera.view, fx=camera.fx, fy=camera.fy,
+                  cx=camera.cx, cy=camera.cy - y0,
+                  width=camera.width, height=slab_h)
+
+
+def render_data_parallel(cloud: GaussianCloud, camera: Camera,
+                         cfg: RenderConfig, mesh: Mesh,
+                         render_fn=None):
+    """Replicated scene, row-slab-sharded framebuffer.
+
+    Returns RenderOutput with arrays sharded P('tiles') on the row axis.
+    """
+    from gsrt.models.gaussian_rt import render_fast
+    render_fn = render_fn or render_fast
+    n_tiles = mesh.shape["tiles"]
+    assert camera.height % n_tiles == 0, "image height must divide tile axis"
+    slab_h = camera.height // n_tiles
+    slab_cfg = cfg.replace(height=slab_h)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P("tiles"),
+        check_vma=False,
+    )
+    def shard_fn(cloud, camera):
+        y0 = jax.lax.axis_index("tiles") * slab_h
+        cam = _slab_camera(camera, y0.astype(jnp.float32), slab_h)
+        out = render_fn(cloud, cam, slab_cfg)
+        return jnp.concatenate(
+            [out.trans[..., None], out.color], axis=-1)  # [slab_h, W, 4]
+
+    packed = shard_fn(cloud, camera)
+    return packed[..., 0], packed[..., 1:]   # trans [H,W], color [H,W,3]
+
+
+def shard_cloud_by_depth(cloud: GaussianCloud, camera: Camera,
+                         n_shards: int) -> GaussianCloud:
+    """Host-side prep for splat sharding: sort splats by camera depth and
+    pad so N divides the shard count. Shard i then owns depth slab i."""
+    R = camera.view[:3, :3]
+    t = camera.view[:3, 3]
+    depth = cloud.means @ np.asarray(R.T) + np.asarray(t)
+    order = jnp.argsort(jnp.asarray(depth)[:, 2])
+    n = cloud.n
+    pad = (-n) % n_shards
+    def prep(x):
+        x = x[order]
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x
+    return GaussianCloud(means=prep(cloud.means), cov3d=prep(cloud.cov3d),
+                         opacity=prep(cloud.opacity), sh=prep(cloud.sh))
+
+
+def render_splat_sharded(cloud: GaussianCloud, camera: Camera,
+                         cfg: RenderConfig, mesh: Mesh,
+                         render_fn=None):
+    """Depth-slab splat sharding × row-slab image sharding.
+
+    `cloud` must be depth-sorted and N divisible by the splat axis (use
+    `shard_cloud_by_depth`). Returns (trans [H,W], color [H,W,3]) sharded
+    P('tiles') on rows, replicated over 'splats'.
+    """
+    from gsrt.models.gaussian_rt import render_fast
+    render_fn = render_fn or render_fast
+    n_tiles = mesh.shape["tiles"]
+    n_sh = mesh.shape["splats"]
+    assert camera.height % n_tiles == 0
+    assert cloud.n % n_sh == 0
+    slab_h = camera.height // n_tiles
+    slab_cfg = cfg.replace(height=slab_h)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("splats"), P()),
+        out_specs=P("tiles", None, None),
+        check_vma=False,
+    )
+    def shard_fn(cloud, camera):
+        y0 = jax.lax.axis_index("tiles") * slab_h
+        cam = _slab_camera(camera, y0.astype(jnp.float32), slab_h)
+        out = render_fn(cloud, cam, slab_cfg)      # my depth slab only
+        packed = jnp.concatenate(
+            [out.trans[..., None], out.color], axis=-1)[None]  # [1,h,W,4]
+        all_slabs = jax.lax.all_gather(
+            packed, "splats", axis=0, tiled=True)  # [n_sh, h, W, 4]
+        ts = all_slabs[..., 0]                     # [n_sh, h, W]
+        cs = all_slabs[..., 1:]                    # [n_sh, h, W, 3]
+        # ordered composite over depth slabs: prefix transmittances
+        excl = jnp.concatenate(
+            [jnp.ones_like(ts[:1]),
+             jnp.cumprod(ts, axis=0)[:-1]], axis=0)
+        color = jnp.sum(cs * excl[..., None], axis=0)
+        trans = jnp.prod(ts, axis=0)
+        return jnp.concatenate([trans[..., None], color], axis=-1)
+
+    packed = shard_fn(cloud, camera)
+    return packed[..., 0], packed[..., 1:]

@@ -113,8 +113,7 @@ def test_screen_radius_contains_cutoff_region():
         c = rng.uniform(0.05, 2.0)
         b = rng.uniform(-1, 1) * np.sqrt(a * c) * 0.9
         quad = jnp.array([[a, b, c]])
-        det = jnp.array([a * c - b * b])
-        r = float(np.asarray(screen_radius(quad, det, "standard", 5.6))[0])
+        r = float(np.asarray(screen_radius(quad, "standard", 5.6))[0])
         # sample the ellipse boundary: g = 5.6 at points x with ½xᵀQx = 5.6
         Q = np.array([[a, b], [b, c]])
         eigval, eigvec = np.linalg.eigh(Q)

@@ -1,0 +1,58 @@
+"""Multi-chip sharding tests on the 8-device CPU mesh (conftest.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsrt.core.config import RenderConfig
+from gsrt.models.gaussian_rt import render_fast
+from gsrt.parallel import (
+    make_render_mesh,
+    render_data_parallel,
+    render_splat_sharded,
+)
+from gsrt.parallel.tiles import shard_cloud_by_depth
+from gsrt.scene.catalog import random_cloud
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_matches_single():
+    cloud, camera = random_cloud(200, seed=5, width=64, height=64)
+    cfg = RenderConfig(width=64, height=64, conic_mode="standard")
+    ref = render_fast(cloud, camera, cfg)
+    mesh = make_render_mesh(n_tiles=8)
+    trans, color = render_data_parallel(cloud, camera, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(ref.trans),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_splat_sharded_matches_single():
+    cloud, camera = random_cloud(333, seed=6, width=64, height=32)
+    cfg = RenderConfig(width=64, height=32, conic_mode="standard")
+    ref = render_fast(cloud, camera, cfg)
+    mesh = make_render_mesh(n_tiles=2, n_splats=4)
+    sharded = shard_cloud_by_depth(cloud, camera, 4)
+    trans, color = render_splat_sharded(sharded, camera, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(ref.trans),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_splat_sharded_full_splat_axis():
+    cloud, camera = random_cloud(160, seed=7, width=64, height=8)
+    cfg = RenderConfig(width=64, height=8, conic_mode="standard")
+    ref = render_fast(cloud, camera, cfg)
+    mesh = make_render_mesh(n_tiles=1, n_splats=8)
+    sharded = shard_cloud_by_depth(cloud, camera, 8)
+    trans, color = render_splat_sharded(sharded, camera, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(ref.trans),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               rtol=1e-3, atol=1e-4)
