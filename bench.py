@@ -40,7 +40,9 @@ def main() -> None:
                                  scale_range=(0.004, 0.03))
 
     if on_tpu:
-        render = functools.partial(render_tiled, cfg=cfg, max_pairs=1 << 23)
+        from gsrt.models.gaussian_rt import GaussianRayTracer
+        mp = GaussianRayTracer(cfg, "tiled").calibrate(cloud, camera)
+        render = functools.partial(render_tiled, cfg=cfg, max_pairs=mp)
     else:
         render = functools.partial(render_fast, cfg=cfg)
 

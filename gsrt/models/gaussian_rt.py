@@ -36,7 +36,7 @@ from gsrt.ops import explut
 from gsrt.ops.gaussian import (
     eval_gaussian_response,
     project_gaussians,
-    screen_radius,
+    screen_extents,
 )
 from gsrt.ops.kbuffer import (
     advance_depth_front,
@@ -309,13 +309,13 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     if cloud.n == 0:
         return _empty_output(camera, cfg)
     depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
-    radius = screen_radius(quad, cfg.conic_mode, cfg.g_cutoff)
+    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff)
     alive = in_front & (cloud.opacity > cfg.alpha_threshold)
 
     from gsrt.ops.splat_pallas import TILE_H, TILE_W
 
     binning = build_tile_binning(
-        depth, mean2d, quad, cloud.opacity, colors, radius, alive,
+        depth, mean2d, quad, cloud.opacity, colors, rx, ry, alive,
         width=camera.width, height=camera.height,
         tile_w=TILE_W, tile_h=TILE_H,
         chunk=cfg.pair_chunk, max_pairs=max_pairs)
@@ -342,20 +342,63 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
                         passes=-(-hits // cfg.k), hits=hits)
 
 
+def count_pairs(cloud: GaussianCloud, camera: Camera,
+                cfg: RenderConfig) -> jnp.ndarray:
+    """Total (tile, splat) pairs this view generates — used to right-size
+    the static pair buffers (the analogue of the reference's fixed
+    1000-entry per-warp tables, intersection_table.h:42)."""
+    from gsrt.ops.tile_binning import compute_tile_spans
+    from gsrt.ops.splat_pallas import TILE_H, TILE_W
+    depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
+    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff)
+    alive = in_front & (cloud.opacity > cfg.alpha_threshold)
+    *_, touched = compute_tile_spans(
+        mean2d, rx, ry, alive, camera.width, camera.height, TILE_W, TILE_H)
+    return jnp.sum(touched)
+
+
 class GaussianRayTracer:
-    """Convenience wrapper choosing the execution path and jitting it."""
+    """Convenience wrapper choosing the execution path and jitting it.
+
+    In "tiled" mode the static pair-buffer size is auto-calibrated on the
+    first call (and re-calibrated if a later frame overflows the bucket):
+    max_pairs = next power of two ≥ 1.2 × the view's true pair count.
+    Pow-2 bucketing keeps recompiles rare under camera motion.
+    """
 
     def __init__(self, cfg: RenderConfig, mode: str = "fast",
-                 max_pairs: int = 1 << 20):
+                 max_pairs: Optional[int] = None):
         self.cfg = cfg
         self.mode = mode
-        if mode == "tiled":
-            fn = functools.partial(render_tiled, cfg=cfg, max_pairs=max_pairs)
-        else:
+        self.max_pairs = max_pairs
+        self._count = jax.jit(functools.partial(count_pairs, cfg=cfg))
+        self._tiled_cache: dict[int, callable] = {}
+        if mode != "tiled":
             fn = functools.partial(
                 {"fast": render_fast, "reference": render_reference}[mode],
                 cfg=cfg)
-        self._render = jax.jit(fn)
+            self._render = jax.jit(fn)
+
+    def _tiled_fn(self, mp: int):
+        if mp not in self._tiled_cache:
+            self._tiled_cache[mp] = jax.jit(functools.partial(
+                render_tiled, cfg=self.cfg, max_pairs=mp))
+        return self._tiled_cache[mp]
+
+    def calibrate(self, cloud: GaussianCloud, camera: Camera) -> int:
+        total = int(self._count(cloud, camera))
+        need = max(1 << 14, int(total * 1.2))
+        # {1, 1.5}·2^k buckets: ≤33% slack, rare recompiles
+        p = 1 << (need - 1).bit_length()
+        mp = p if need > 3 * p // 4 else 3 * p // 4
+        # binning rounds slots to the 128-lane chunk grid
+        mp = -(-mp // 128) * 128
+        self.max_pairs = mp
+        return mp
 
     def __call__(self, cloud: GaussianCloud, camera: Camera) -> RenderOutput:
-        return self._render(cloud, camera)
+        if self.mode != "tiled":
+            return self._render(cloud, camera)
+        if self.max_pairs is None:
+            self.calibrate(cloud, camera)
+        return self._tiled_fn(self.max_pairs)(cloud, camera)

@@ -1,0 +1,337 @@
+"""Wavefront path tracer — the reference's triangle/procedural workloads.
+
+Re-implements the RTIOW-style iterative path tracer of
+assets/shaders/RayTracing.rgen:36-99 + Scatter.glsl:15-81 +
+RayTracing.rmiss as a TPU wavefront: all rays advance one bounce per step
+(dense [R] SoA, masked lanes for terminated rays) instead of per-thread GLSL
+loops. Materials are evaluated for every lane and selected by mask — the
+TPU version of the reference's warp-level shader coalescing
+(Function_Call_Coalescing, intersection_table.h:44-47).
+
+Shader-type variants (README.md:8-16, --shader-type):
+  * path  — full path tracing (RayTracing.rgen)
+  * shadow — primary hit + hard shadow rays toward the light
+    (TraceShadow.rgen semantics)
+  * ao — primary hit + cosine-hemisphere occlusion rays (TraceAO.rgen)
+
+Scenes are SoA sphere/box/triangle sets (gsrt.scene.catalog builds the
+RTIOW and Cornell-box scenes; OBJ meshes via gsrt.scene.obj).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gsrt.core.config import RenderConfig
+from gsrt.core.types import Camera, Materials
+from gsrt.ops.primitives import (
+    box_normal,
+    ray_box,
+    ray_sphere,
+    ray_triangle,
+    sphere_normal,
+    triangle_normal,
+)
+
+
+class PrimitiveScene(NamedTuple):
+    """Mixed-primitive scene SoA (the reference's per-model BLAS set,
+    flattened — sphere/cube procedurals + triangle geometry)."""
+
+    sph_center: jnp.ndarray   # [S, 3]
+    sph_radius: jnp.ndarray   # [S]
+    sph_mat: jnp.ndarray      # [S] int32
+    box_min: jnp.ndarray      # [B, 3]
+    box_max: jnp.ndarray      # [B, 3]
+    box_mat: jnp.ndarray      # [B]
+    tri_v0: jnp.ndarray       # [T, 3]
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+    tri_mat: jnp.ndarray      # [T]
+    materials: Materials
+
+    @property
+    def counts(self):
+        return (self.sph_center.shape[0], self.box_min.shape[0],
+                self.tri_v0.shape[0])
+
+
+def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
+    """Nearest hit across all primitive types.
+
+    Returns (t [R], normal [R,3], mat_id [R], hit [R])."""
+    R = orig.shape[0]
+    best_t = jnp.full((R,), jnp.inf)
+    best_n = jnp.zeros((R, 3))
+    best_m = jnp.zeros((R,), jnp.int32)
+
+    if scene.sph_center.shape[0]:
+        t = ray_sphere(orig, dirn, scene.sph_center, scene.sph_radius,
+                       t_min, t_max)                     # [R,S]
+        i = jnp.argmin(t, axis=-1)
+        ti = jnp.take_along_axis(t, i[:, None], -1)[:, 0]
+        hit_p = orig + ti[:, None] * dirn
+        n = sphere_normal(hit_p, scene.sph_center[i])
+        upd = ti < best_t
+        best_t = jnp.where(upd, ti, best_t)
+        best_n = jnp.where(upd[:, None], n, best_n)
+        best_m = jnp.where(upd, scene.sph_mat[i], best_m)
+
+    if scene.box_min.shape[0]:
+        t = ray_box(orig, dirn, scene.box_min, scene.box_max, t_min, t_max)
+        i = jnp.argmin(t, axis=-1)
+        ti = jnp.take_along_axis(t, i[:, None], -1)[:, 0]
+        hit_p = orig + ti[:, None] * dirn
+        n = box_normal(hit_p, scene.box_min[i], scene.box_max[i])
+        upd = ti < best_t
+        best_t = jnp.where(upd, ti, best_t)
+        best_n = jnp.where(upd[:, None], n, best_n)
+        best_m = jnp.where(upd, scene.box_mat[i], best_m)
+
+    if scene.tri_v0.shape[0]:
+        t, u, v = ray_triangle(orig, dirn, scene.tri_v0, scene.tri_v1,
+                               scene.tri_v2, t_min, t_max)
+        i = jnp.argmin(t, axis=-1)
+        ti = jnp.take_along_axis(t, i[:, None], -1)[:, 0]
+        n = triangle_normal(scene.tri_v0[i], scene.tri_v1[i], scene.tri_v2[i])
+        # face-forward
+        n = jnp.where(jnp.sum(n * dirn, -1, keepdims=True) > 0, -n, n)
+        upd = ti < best_t
+        best_t = jnp.where(upd, ti, best_t)
+        best_n = jnp.where(upd[:, None], n, best_n)
+        best_m = jnp.where(upd, scene.tri_mat[i], best_m)
+
+    return best_t, best_n, best_m, jnp.isfinite(best_t)
+
+
+def _any_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
+    """Occlusion query (shadow/AO rays)."""
+    t, _, _, hit = _closest_hit(scene, orig, dirn, t_min, t_max)
+    return hit
+
+
+def _random_unit(key, shape):
+    v = jax.random.normal(key, shape)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+
+
+def _random_in_unit_disk(key, n):
+    k1, k2 = jax.random.split(key)
+    r = jnp.sqrt(jax.random.uniform(k1, (n,)))
+    th = jax.random.uniform(k2, (n,)) * 2 * jnp.pi
+    return jnp.stack([r * jnp.cos(th), r * jnp.sin(th)], -1)
+
+
+def _reflect(d, n):
+    return d - 2.0 * jnp.sum(d * n, -1, keepdims=True) * n
+
+
+def _refract(d, n, eta):
+    """glsl refract(); returns 0 on total internal reflection."""
+    cos_i = -jnp.sum(d * n, -1, keepdims=True)
+    k = 1.0 - eta ** 2 * (1.0 - cos_i ** 2)
+    refr = eta * d + (eta * cos_i - jnp.sqrt(jnp.maximum(k, 0.0))) * n
+    return jnp.where(k >= 0, refr, 0.0)
+
+
+def _schlick(cosine, ref_idx):
+    r0 = ((1 - ref_idx) / (1 + ref_idx)) ** 2
+    return r0 + (1 - r0) * (1 - cosine) ** 5
+
+
+def _sky(dirn, has_sky):
+    """RayTracing.rmiss:13-24."""
+    t = 0.5 * (dirn[:, 1] / jnp.maximum(
+        jnp.linalg.norm(dirn, axis=-1), 1e-9) + 1.0)
+    sky = (1 - t[:, None]) * jnp.ones(3) + t[:, None] * jnp.array([0.5, 0.7, 1.0])
+    return jnp.where(has_sky, sky, jnp.zeros_like(sky))
+
+
+def _scatter(key, mats: Materials, mat_id, dirn, normal, hit_p):
+    """All four scatter models evaluated dense + masked select
+    (Scatter.glsl:15-81). Returns (attenuation [R,3], new_dir [R,3],
+    scattered [R] bool, emitted [R] bool)."""
+    R = dirn.shape[0]
+    model = mats.model[mat_id]
+    diffuse = mats.diffuse[mat_id]
+    fuzz = mats.fuzziness[mat_id]
+    ref_idx = mats.refraction_index[mat_id]
+    d = dirn / jnp.maximum(jnp.linalg.norm(dirn, -1, keepdims=True), 1e-9)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    rand_unit = _random_unit(k1, (R, 3))
+
+    # lambertian (Scatter.glsl:15-23)
+    lam_dir = normal + rand_unit
+    lam_scattered = jnp.sum(d * normal, -1) < 0
+
+    # metallic (:26-36)
+    refl = _reflect(d, normal)
+    met_dir = refl + fuzz[:, None] * rand_unit
+    met_scattered = jnp.sum(refl * normal, -1) > 0
+
+    # dielectric (:39-54)
+    dn = jnp.sum(d * normal, -1, keepdims=True)
+    outward = jnp.where(dn > 0, -normal, normal)
+    eta = jnp.where(dn[:, 0] > 0, ref_idx, 1.0 / ref_idx)
+    cosine = jnp.where(dn[:, 0] > 0, ref_idx * dn[:, 0], -dn[:, 0])
+    refr = _refract(d, outward, eta[:, None])
+    tir = jnp.sum(refr * refr, -1) == 0
+    reflect_prob = jnp.where(tir, 1.0, _schlick(cosine, ref_idx))
+    die_reflects = jax.random.uniform(k2, (R,)) < reflect_prob
+    die_dir = jnp.where(die_reflects[:, None], _reflect(d, normal), refr)
+
+    # select by material model
+    is_lam = model == Materials.LAMBERTIAN
+    is_met = model == Materials.METALLIC
+    is_die = model == Materials.DIELECTRIC
+    is_iso = model == Materials.ISOTROPIC
+    is_light = model == Materials.DIFFUSE_LIGHT
+
+    new_dir = jnp.where(is_lam[:, None], lam_dir,
+               jnp.where(is_met[:, None], met_dir,
+                jnp.where(is_die[:, None], die_dir, rand_unit)))
+    atten = jnp.where(is_die[:, None], jnp.ones(3), diffuse)
+    scattered = jnp.where(is_lam, lam_scattered,
+                 jnp.where(is_met, met_scattered,
+                  jnp.where(is_die | is_iso, True, False)))
+    return atten, new_dir, scattered & ~is_light, is_light
+
+
+def generate_camera_rays(key, camera: Camera, cfg: RenderConfig,
+                         aperture: float = 0.0, focus: float = 1.0):
+    """Jittered primary rays with thin-lens defocus
+    (RayTracing.rgen:39-45, +z-forward convention)."""
+    H, W = camera.height, camera.width
+    R = H * W
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    pix = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(jnp.float32)
+    k1, k2 = jax.random.split(key)
+    jitter = jax.random.uniform(k1, (R, 2))
+    p = pix + jitter
+    # camera-space direction through the pixel
+    dx = (p[:, 0] - camera.cx) / camera.fx
+    dy = (p[:, 1] - camera.cy) / camera.fy
+    target = jnp.stack([dx * focus, dy * focus, jnp.full((R,), focus)], -1)
+    lens = (aperture * 0.5) * _random_in_unit_disk(k2, R)
+    offset = jnp.stack([lens[:, 0], lens[:, 1], jnp.zeros(R)], -1)
+    d_cam = target - offset
+    d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+    c2w = jnp.linalg.inv(camera.view)
+    orig = (c2w[:3, :3] @ offset.T).T + c2w[:3, 3]
+    dirn = (c2w[:3, :3] @ d_cam.T).T
+    return orig, dirn
+
+
+def render_path_traced(scene: PrimitiveScene, camera: Camera,
+                       cfg: RenderConfig, seed: int = 0,
+                       aperture: float = 0.0, focus: float = 1.0):
+    """Full path trace: [H,W,3] linear color (sqrt-gamma'd if configured,
+    RayTracing.rgen:87-93)."""
+    H, W = camera.height, camera.width
+    R = H * W
+    key = jax.random.PRNGKey(seed)
+
+    def one_sample(key):
+        kr, kb = jax.random.split(key)
+        orig, dirn = generate_camera_rays(kr, camera, cfg, aperture, focus)
+        ray_color = jnp.ones((R, 3))
+        out_color = jnp.zeros((R, 3))
+        active = jnp.ones((R,), bool)
+
+        def bounce(b, state):
+            key, orig, dirn, ray_color, out_color, active = state
+            key, ks = jax.random.split(key)
+            t, n, mat, hit = _closest_hit(scene, orig, dirn,
+                                          cfg.t_min, cfg.t_max)
+            # miss → sky, terminate (rmiss)
+            sky = _sky(dirn, cfg.has_sky)
+            miss_now = active & ~hit
+            out_color = out_color + jnp.where(
+                miss_now[:, None], ray_color * sky, 0.0)
+
+            atten, new_dir, scattered, is_light = _scatter(
+                ks, scene.materials, mat, dirn, n,
+                orig + t[:, None] * dirn)
+            # light hit → emit, terminate (Scatter.glsl:57-63 + rgen:69-77)
+            light_now = active & hit & is_light
+            out_color = out_color + jnp.where(
+                light_now[:, None],
+                ray_color * scene.materials.diffuse[mat], 0.0)
+
+            ray_color = jnp.where((active & hit)[:, None],
+                                  ray_color * atten, ray_color)
+            hit_p = orig + t[:, None] * dirn
+            orig = jnp.where(hit[:, None], hit_p, orig)
+            dirn = jnp.where(hit[:, None], new_dir, dirn)
+            active = active & hit & scattered
+            return key, orig, dirn, ray_color, out_color, active
+
+        state = (kb, orig, dirn, ray_color, out_color, active)
+        state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
+        # rays exceeding the bounce limit gather no light (rgen:56-60)
+        return state[4]
+
+    keys = jax.random.split(key, cfg.samples)
+    color = jnp.mean(jax.lax.map(one_sample, keys), axis=0)
+    if cfg.gamma_correction:
+        color = jnp.sqrt(jnp.clip(color, 0.0, 1.0))
+    return color.reshape(H, W, 3)
+
+
+def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
+                       cfg: RenderConfig, light_pos, light_radius=0.5,
+                       seed: int = 0):
+    """TraceShadow.rgen semantics: primary hit, then `shadow_rays` rays
+    toward points on the light sphere; shade = diffuse·visibility."""
+    H, W = camera.height, camera.width
+    key = jax.random.PRNGKey(seed)
+    orig, dirn = generate_camera_rays(key, camera, cfg)
+    t, n, mat, hit = _closest_hit(scene, orig, dirn, cfg.t_min, cfg.t_max)
+    hit_p = orig + t[:, None] * dirn + 1e-3 * n
+    vis = jnp.zeros((orig.shape[0],))
+    for s in range(cfg.shadow_rays):
+        ks = jax.random.fold_in(key, s + 1)
+        target = jnp.asarray(light_pos) + light_radius * _random_unit(
+            ks, (orig.shape[0], 3))
+        ld = target - hit_p
+        dist = jnp.linalg.norm(ld, axis=-1, keepdims=True)
+        ld = ld / jnp.maximum(dist, 1e-9)
+        # per-ray t_max broadcasts [R,1] against [R,P] primitive tests
+        occluded = _any_hit(scene, hit_p, ld, cfg.t_min, dist - 1e-2)
+        vis = vis + jnp.where(occluded, 0.0, 1.0)
+    vis = vis / max(cfg.shadow_rays, 1)
+    ndl = jnp.maximum(jnp.sum(n * (jnp.asarray(light_pos) - hit_p), -1), 0.0)
+    ndl = ndl / jnp.maximum(jnp.linalg.norm(
+        jnp.asarray(light_pos) - hit_p, axis=-1), 1e-9)
+    albedo = scene.materials.diffuse[mat]
+    color = jnp.where(hit[:, None], albedo * (0.1 + 0.9 * vis * ndl)[:, None],
+                      _sky(dirn, cfg.has_sky))
+    return color.reshape(H, W, 3)
+
+
+def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
+                             cfg: RenderConfig, seed: int = 0,
+                             ao_radius: float = 2.0):
+    """TraceAO.rgen semantics: primary hit + `ao_rays` cosine-hemisphere
+    occlusion rays with limited tMax."""
+    H, W = camera.height, camera.width
+    key = jax.random.PRNGKey(seed)
+    orig, dirn = generate_camera_rays(key, camera, cfg)
+    t, n, mat, hit = _closest_hit(scene, orig, dirn, cfg.t_min, cfg.t_max)
+    hit_p = orig + t[:, None] * dirn + 1e-3 * n
+    occ = jnp.zeros((orig.shape[0],))
+    for s in range(cfg.ao_rays):
+        ks = jax.random.fold_in(key, s + 1)
+        d = _random_unit(ks, (orig.shape[0], 3))
+        d = jnp.where(jnp.sum(d * n, -1, keepdims=True) < 0, -d, d)
+        blocked = _any_hit(scene, hit_p, d, cfg.t_min, ao_radius)
+        occ = occ + jnp.where(blocked, 1.0, 0.0)
+    ao = 1.0 - occ / max(cfg.ao_rays, 1)
+    color = jnp.where(hit[:, None], ao[:, None] * jnp.ones(3),
+                      _sky(dirn, cfg.has_sky))
+    return color.reshape(H, W, 3)

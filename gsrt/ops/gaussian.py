@@ -154,11 +154,24 @@ def screen_radius(quad: jnp.ndarray, conic_mode: str,
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(mid * mid - (a * c - b * b), 0.0))
     lam_min = jnp.maximum(mid - disc, 1e-12)
-    lam_max = mid + disc
-    if conic_mode == "standard":
-        return jnp.sqrt(2.0 * g_cutoff / lam_min)
-    # reference mode: Q = Σ2D; region is dᵀΣd ≤ 2G → radius² = 2G/λ_min(Σ)
     return jnp.sqrt(2.0 * g_cutoff / lam_min)
+
+
+def screen_extents(quad: jnp.ndarray, conic_mode: str,
+                   g_cutoff: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tight per-axis half-extents (rx, ry) of the g ≤ g_cutoff ellipse.
+
+    The ellipse dᵀQd ≤ 2G has axis-aligned bounding box half-widths
+    rx = sqrt(2G·(Q⁻¹)₀₀), ry = sqrt(2G·(Q⁻¹)₁₁). Much tighter than the
+    circular screen_radius for anisotropic splats — directly cuts the
+    (tile, splat) pair count.
+    """
+    a, b, c = quad[..., 0], quad[..., 1], quad[..., 2]
+    det = jnp.maximum(a * c - b * b, 1e-18)
+    # Q⁻¹ = (1/det)·[[c, -b], [-b, a]]
+    rx = jnp.sqrt(jnp.maximum(2.0 * g_cutoff * c / det, 0.0))
+    ry = jnp.sqrt(jnp.maximum(2.0 * g_cutoff * a / det, 0.0))
+    return rx, ry
 
 
 def eval_gaussian_response(

@@ -1,0 +1,122 @@
+"""Analytic ray-primitive intersections, batched.
+
+Re-derivations of the reference's procedural intersection shaders
+(assets/shaders/RayTracing.Procedural*.rint: sphere quadratic, cube slab,
+cylinder) and its triangle test (Möller–Trumbore,
+vulkan-sim/src/cuda-sim/vulkan_ray_tracing.cc:1184-1206 `mt_ray_triangle_test`)
+as vectorized VPU ops. All functions broadcast rays [R,3] against
+primitives [P,...] → [R,P] hit distances (inf on miss) + normals.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+INF = jnp.inf
+
+
+def ray_sphere(orig, dirn, centers, radii, t_min, t_max):
+    """[R,3] rays vs [P] spheres → t [R,P] (inf on miss).
+
+    Same quadratic as RayTracing.Procedural.rint (sphere): solves
+    |o + t·d − c|² = r², keeps the nearest root inside (t_min, t_max).
+    """
+    oc = orig[:, None, :] - centers[None, :, :]          # [R,P,3]
+    b = jnp.sum(oc * dirn[:, None, :], axis=-1)          # [R,P]
+    c = jnp.sum(oc * oc, axis=-1) - (radii ** 2)[None, :]
+    disc = b * b - c                                     # a=1 (unit dirs)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where((t0 > t_min) & (t0 < t_max), t0,
+                  jnp.where((t1 > t_min) & (t1 < t_max), t1, INF))
+    return jnp.where(disc > 0, t, INF)
+
+
+def sphere_normal(point, center):
+    n = point - center
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def ray_box(orig, dirn, box_min, box_max, t_min, t_max):
+    """[R,3] rays vs [P] AABBs (slab test — the reference's ray_box_test,
+    vulkan_ray_tracing.cc:217-246, and the cube rint). → t [R,P]."""
+    inv = 1.0 / jnp.where(jnp.abs(dirn) > 1e-12, dirn,
+                          jnp.where(dirn >= 0, 1e-12, -1e-12))
+    lo = (box_min[None, :, :] - orig[:, None, :]) * inv[:, None, :]
+    hi = (box_max[None, :, :] - orig[:, None, :]) * inv[:, None, :]
+    t_near = jnp.max(jnp.minimum(lo, hi), axis=-1)       # [R,P]
+    t_far = jnp.min(jnp.maximum(lo, hi), axis=-1)
+    hit = (t_near <= t_far) & (t_far > t_min)
+    t = jnp.where(t_near > t_min, t_near, t_far)
+    return jnp.where(hit & (t > t_min) & (t < t_max), t, INF)
+
+
+def box_normal(point, box_min, box_max, eps=1e-4):
+    """Outward normal of the face containing `point`."""
+    center = 0.5 * (box_min + box_max)
+    half = 0.5 * (box_max - box_min)
+    local = (point - center) / jnp.maximum(half, 1e-12)
+    ax = jnp.argmax(jnp.abs(local), axis=-1)
+    sign = jnp.sign(jnp.take_along_axis(local, ax[..., None], -1))[..., 0]
+    return jnp.eye(3)[ax] * sign[..., None]
+
+
+def ray_cylinder(orig, dirn, centers, radii, half_h, t_min, t_max):
+    """Y-axis-aligned capped cylinders (the reference's cylinder rint).
+    → t [R,P]."""
+    oc = orig[:, None, :] - centers[None, :, :]
+    dx, dz = dirn[:, None, 0], dirn[:, None, 2]
+    ox, oz = oc[..., 0], oc[..., 2]
+    a = dx * dx + dz * dz
+    b = ox * dx + oz * dz
+    c = ox * ox + oz * oz - (radii ** 2)[None, :]
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(jnp.abs(a) > 1e-12, a, 1e-12)
+    t0 = (-b - sq) / a_safe
+    t1 = (-b + sq) / a_safe
+
+    def side_ok(t):
+        y = oc[..., 1] + t * dirn[:, None, 1]
+        return (disc > 0) & (t > t_min) & (t < t_max) & \
+               (jnp.abs(y) <= half_h[None, :])
+
+    t_side = jnp.where(side_ok(t0), t0, jnp.where(side_ok(t1), t1, INF))
+
+    # caps: y = ±half_h planes within radius
+    dy = dirn[:, None, 1]
+    dy_safe = jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
+    t_cap = INF
+    for s in (-1.0, 1.0):
+        tc = (s * half_h[None, :] - oc[..., 1]) / dy_safe
+        x = ox + tc * dx
+        z = oz + tc * dz
+        ok = (tc > t_min) & (tc < t_max) & \
+             (x * x + z * z <= (radii ** 2)[None, :]) & (jnp.abs(dy) > 1e-12)
+        t_cap = jnp.minimum(t_cap, jnp.where(ok, tc, INF))
+    return jnp.minimum(t_side, t_cap)
+
+
+def ray_triangle(orig, dirn, v0, v1, v2, t_min, t_max):
+    """Möller–Trumbore, [R,3] rays × [P] triangles → (t [R,P], u, v).
+
+    Mirrors mt_ray_triangle_test (vulkan_ray_tracing.cc:1184-1206)."""
+    e1 = v1 - v0                                         # [P,3]
+    e2 = v2 - v0
+    pvec = jnp.cross(dirn[:, None, :], e2[None, :, :])   # [R,P,3]
+    det = jnp.sum(e1[None, :, :] * pvec, axis=-1)        # [R,P]
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = orig[:, None, :] - v0[None, :, :]
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    v = jnp.sum(dirn[:, None, :] * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
+    hit = (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & \
+          (t > t_min) & (t < t_max)
+    return jnp.where(hit, t, INF), u, v
+
+
+def triangle_normal(v0, v1, v2):
+    n = jnp.cross(v1 - v0, v2 - v0)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)

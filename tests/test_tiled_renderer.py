@@ -14,7 +14,7 @@ import pytest
 
 from gsrt.core.config import RenderConfig
 from gsrt.models.gaussian_rt import render_fast, render_tiled
-from gsrt.ops.gaussian import project_gaussians, screen_radius
+from gsrt.ops.gaussian import project_gaussians, screen_extents
 from gsrt.ops.tile_binning import build_tile_binning, compute_tile_spans
 from gsrt.scene.catalog import demo_gauss_splat, random_cloud
 
@@ -52,11 +52,10 @@ def test_tiled_overflow_flag():
     cfg = RenderConfig(width=160, height=96, conic_mode="standard")
     depth, mean2d, quad, det, in_front = project_gaussians(
         cloud.means, cloud.cov3d, camera)
-    radius = screen_radius(quad, "standard", cfg.g_cutoff)
-    from gsrt.ops.sh import eval_sh
+    rx, ry = screen_extents(quad, "standard", cfg.g_cutoff)
     colors = jnp.ones((cloud.n, 3)) * 0.5
     b = build_tile_binning(
-        depth, mean2d, quad, cloud.opacity, colors, radius, in_front,
+        depth, mean2d, quad, cloud.opacity, colors, rx, ry, in_front,
         width=160, height=96, chunk=128, max_pairs=128)
     assert bool(b.overflow)
     assert int(b.total_pairs) > 128
@@ -71,7 +70,7 @@ def test_tile_spans_cover_footprints():
     alive = jnp.ones(64, bool)
     W, H, TW, TH = 160, 96, 128, 8
     x0, x1, y0, y1, touched = compute_tile_spans(
-        mean2d, radius, alive, W, H, TW, TH)
+        mean2d, radius, radius, alive, W, H, TW, TH)
     x0, x1, y0, y1 = map(np.asarray, (x0, x1, y0, y1))
     m2, r, tch = np.asarray(mean2d), np.asarray(radius), np.asarray(touched)
     for i in range(64):
