@@ -1,0 +1,248 @@
+"""Command-line interface — mirrors the reference's options surface
+(RayTracingInVulkan/src/Options.cpp:9-72: --scene --width --height --samples
+--bounces --shadowrays --shader-type --benchmark ...) as subcommands over the
+TPU renderers.
+
+  python -m gsrt.cli render  --scene 3DGS --width 128 --height 128 --out o.png
+  python -m gsrt.cli render  --ply garden.ply --width 1920 --height 1080
+  python -m gsrt.cli pt      --scene rtiow --samples 8 --bounces 16
+  python -m gsrt.cli bench   --out results.json          # lumibench-style sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--height", type=int, default=128)
+    p.add_argument("--samples", type=int, default=1)
+    p.add_argument("--bounces", type=int, default=16)
+    p.add_argument("--out", type=str, default=None, help="PNG output path")
+    p.add_argument("--dump-binary", type=str, default=None,
+                   help="reference-style image.binary dump path")
+    p.add_argument("--stats", action="store_true")
+
+
+def cmd_render(args) -> int:
+    """Ray-traced 3DGS rendering (the reference's --scene '3DGS' path)."""
+    import jax
+    from gsrt.core.config import RenderConfig
+    from gsrt.core.types import make_camera, look_at
+    from gsrt.models.gaussian_rt import GaussianRayTracer
+    from gsrt.scene.catalog import demo_gauss_splat, random_cloud
+    from gsrt.utils.image import dump_image_binary, save_png
+    from gsrt.utils.stats import RenderStats
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       samples=args.samples,
+                       conic_mode="reference" if args.reference_conic
+                       else "standard",
+                       use_exp_lut=args.exp_lut, k=args.k)
+    if args.ply:
+        from gsrt.scene.ply import load_gaussian_ply
+        cloud = load_gaussian_ply(args.ply)
+        center = np.asarray(cloud.means).mean(0)
+        eye = center + np.asarray([0, 0, -4.0]) * float(
+            np.abs(np.asarray(cloud.means) - center).max() / 2 + 1)
+        if args.camera:
+            from gsrt.scene.obj import load_camera_file
+            eye, center = load_camera_file(args.camera)
+        camera = make_camera(look_at(eye, center), args.fov,
+                             args.width, args.height)
+    elif args.scene == "3DGS":
+        cloud, camera = demo_gauss_splat(args.width, args.height)
+    elif args.scene.startswith("random"):
+        n = int(args.scene[len("random"):] or "100000")
+        cloud, camera = random_cloud(n, width=args.width, height=args.height)
+    else:
+        print(f"unknown gaussian scene {args.scene!r}", file=sys.stderr)
+        return 2
+
+    rt = GaussianRayTracer(cfg, mode=args.mode)
+    out = rt(cloud, camera)
+    np.asarray(out.trans)  # sync
+    t0 = time.perf_counter()
+    out = rt(cloud, camera)
+    color = np.asarray(out.color)
+    dt = time.perf_counter() - t0
+
+    if args.out:
+        save_png(args.out, color)
+        print(f"wrote {args.out}")
+    if args.dump_binary:
+        dump_image_binary(args.dump_binary, color)
+    if args.stats:
+        st = RenderStats(width=args.width, height=args.height,
+                         samples=args.samples, n_splats=cloud.n)
+        st.from_output(out).finish(dt)
+        print(st.to_json())
+    else:
+        print(f"{dt * 1e3:.1f} ms  "
+              f"{args.width * args.height / dt / 1e6:.2f} Mrays/s")
+    return 0
+
+
+def cmd_pt(args) -> int:
+    """Path tracing / shadow / AO workloads (--shader-type analogues)."""
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.path_tracer import (
+        render_ambient_occlusion,
+        render_path_traced,
+        render_shadow_rays,
+    )
+    from gsrt.scene.primitives_catalog import (
+        cornell_box,
+        cube_and_spheres,
+        ray_tracing_in_one_weekend,
+    )
+    from gsrt.utils.image import save_png
+
+    scenes = {"rtiow": ray_tracing_in_one_weekend,
+              "cornell": cornell_box,
+              "cubes": cube_and_spheres}
+    if args.scene == "obj":
+        from gsrt.core.types import make_camera, look_at
+        from gsrt.scene.obj import load_obj
+        scene = load_obj(args.obj)
+        lo = np.asarray(scene.tri_v0).min(0)
+        hi = np.asarray(scene.tri_v0).max(0)
+        c = 0.5 * (lo + hi)
+        eye = c + (hi - lo) * np.asarray([0.0, 0.3, 1.8])
+        camera = make_camera(look_at(eye, c), 40.0, args.width, args.height)
+        extra = dict(aperture=0.0, focus=1.0, has_sky=True, gamma=True)
+    elif args.scene in scenes:
+        scene, camera, extra = scenes[args.scene](args.width, args.height)
+    else:
+        print(f"unknown scene {args.scene!r}; have {list(scenes)} + obj",
+              file=sys.stderr)
+        return 2
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       samples=args.samples, bounces=args.bounces,
+                       shadow_rays=args.shadowrays, ao_rays=args.aorays,
+                       has_sky=extra["has_sky"],
+                       gamma_correction=extra["gamma"])
+    t0 = time.perf_counter()
+    if args.shader_type == "path":
+        img = render_path_traced(scene, camera, cfg,
+                                 aperture=extra["aperture"],
+                                 focus=extra["focus"])
+    elif args.shader_type == "shadow":
+        img = render_shadow_rays(scene, camera, cfg,
+                                 light_pos=(278, 554, -279)
+                                 if args.scene == "cornell" else (0, 5, 2))
+    elif args.shader_type == "ao":
+        img = render_ambient_occlusion(scene, camera, cfg)
+    else:
+        print(f"unknown shader type {args.shader_type}", file=sys.stderr)
+        return 2
+    img = np.asarray(img)
+    dt = time.perf_counter() - t0
+    rays = args.width * args.height * args.samples
+    print(f"{dt * 1e3:.1f} ms  {rays / dt / 1e6:.2f} Mrays/s "
+          f"(compile included)")
+    if args.out:
+        save_png(args.out, img)
+        print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    """lumibench.sh-style sweep: scene × shader-type grid at 128x128/2spp
+    (lumibench.sh:1-46), emitting one JSON record per run."""
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.path_tracer import (
+        render_ambient_occlusion,
+        render_path_traced,
+        render_shadow_rays,
+    )
+    from gsrt.scene.primitives_catalog import (
+        cornell_box,
+        cube_and_spheres,
+        ray_tracing_in_one_weekend,
+    )
+
+    results = []
+    scenes = {"rtiow": ray_tracing_in_one_weekend,
+              "cornell": cornell_box,
+              "cubes": cube_and_spheres}
+    for sname, factory in scenes.items():
+        scene, camera, extra = factory(args.width, args.height)
+        cfg = RenderConfig(width=args.width, height=args.height,
+                           samples=args.samples, bounces=args.bounces,
+                           has_sky=extra["has_sky"],
+                           gamma_correction=extra["gamma"])
+        for wname, fn in [
+            ("PT", lambda: render_path_traced(scene, camera, cfg)),
+            ("SH", lambda: render_shadow_rays(scene, camera, cfg,
+                                              light_pos=(0, 5, 2))),
+            ("AO", lambda: render_ambient_occlusion(scene, camera, cfg)),
+        ]:
+            np.asarray(fn())          # compile + warm
+            t0 = time.perf_counter()
+            np.asarray(fn())
+            dt = time.perf_counter() - t0
+            rec = {"scene": sname, "workload": wname,
+                   "width": args.width, "height": args.height,
+                   "samples": args.samples, "ms": round(dt * 1e3, 2),
+                   "mrays_s": round(args.width * args.height *
+                                    args.samples / dt / 1e6, 3)}
+            results.append(rec)
+            print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    return 0
+
+
+def main(argv=None) -> int:
+    # honor JAX_PLATFORMS even when a site plugin (axon TPU) prepends itself
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    ap = argparse.ArgumentParser(prog="gsrt")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="ray-traced 3DGS")
+    _add_common(p)
+    p.add_argument("--scene", type=str, default="3DGS")
+    p.add_argument("--ply", type=str, default=None)
+    p.add_argument("--camera", type=str, default=None,
+                   help=".camera file (eye xyz, center xyz)")
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--mode", choices=["tiled", "fast", "reference"],
+                   default="tiled")
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--exp-lut", action="store_true")
+    p.add_argument("--reference-conic", action="store_true")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("pt", help="path tracing workloads")
+    _add_common(p)
+    p.add_argument("--scene", type=str, default="rtiow")
+    p.add_argument("--obj", type=str, default=None)
+    p.add_argument("--shader-type", choices=["path", "shadow", "ao"],
+                   default="path")
+    p.add_argument("--shadowrays", type=int, default=2)
+    p.add_argument("--aorays", type=int, default=4)
+    p.set_defaults(fn=cmd_pt)
+
+    p = sub.add_parser("bench", help="lumibench-style sweep")
+    _add_common(p)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
