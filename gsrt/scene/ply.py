@@ -62,9 +62,33 @@ def load_gaussian_ply(path: str, max_sh_degree: int = 3) -> GaussianCloud:
         if fmt != "binary_little_endian":
             raise ValueError(f"unsupported PLY format {fmt!r}")
         dtype = np.dtype([(n, t) for n, t in props])
-        data = np.frombuffer(f.read(count * dtype.itemsize), dtype=dtype)
+        raw = f.read(count * dtype.itemsize)
+        data = np.frombuffer(raw, dtype=dtype)
 
     names = {n for n, _ in props}
+
+    # fast path: native row decoder (all-float32 INRIA layout)
+    if all(t == "<f4" for _, t in props):
+        from gsrt import native
+        name_idx = {n: k for k, (n, _) in enumerate(props)}
+        n_rest = sum(1 for n in names if n.startswith("f_rest_"))
+        if {"x", "f_dc_0", "opacity", "scale_0", "rot_0"} <= names \
+                and native.available():
+            degree = min(max_sh_degree,
+                         int(round((1 + n_rest / 3) ** 0.5)) - 1)
+            K = (degree + 1) ** 2
+            parsed = native.parse_ply_rows_native(
+                raw, count, len(props), name_idx["x"], name_idx["f_dc_0"],
+                name_idx.get("f_rest_0", name_idx["f_dc_0"]), n_rest,
+                name_idx["opacity"], name_idx["scale_0"], name_idx["rot_0"],
+                K)
+            if parsed is not None:
+                means, sh, opacity, scales, rots = parsed
+                cov3d = quat_scale_to_cov3d(jnp.asarray(rots),
+                                            jnp.asarray(scales))
+                return GaussianCloud(means=jnp.asarray(means), cov3d=cov3d,
+                                     opacity=jnp.asarray(opacity),
+                                     sh=jnp.asarray(sh))
     means = np.stack([data["x"], data["y"], data["z"]], -1).astype(np.float32)
     opacity = 1.0 / (1.0 + np.exp(-data["opacity"].astype(np.float32)))
     scales = np.exp(np.stack(
