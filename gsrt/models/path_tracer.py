@@ -283,6 +283,37 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
     return color.reshape(H, W, 3)
 
 
+def render_foveated(scene: PrimitiveScene, camera: Camera,
+                    cfg: RenderConfig, seed: int = 0,
+                    rings=(15, 40), ring_samples=(16, 8, 1),
+                    aperture: float = 0.0, focus: float = 1.0):
+    """TraceFoveated.rgen semantics (:29-51): per-pixel sample count by
+    radius from the image center — 16 spp inside `rings[0]` px, 8 spp inside
+    `rings[1]` px, 1 spp outside. Computed as a full max-spp wavefront with
+    per-pixel sample masks (output-equivalent; TPU lanes are dense either
+    way)."""
+    H, W = camera.height, camera.width
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    r = jnp.sqrt((xs - W / 2.0) ** 2 + (ys - H / 2.0) ** 2).astype(jnp.int32)
+    spp = jnp.where(r > rings[1], ring_samples[2],
+                    jnp.where(r > rings[0], ring_samples[1],
+                              ring_samples[0])).reshape(-1)
+
+    max_spp = max(ring_samples)
+    acc = jnp.zeros((H * W, 3))
+    cfg1 = cfg.replace(samples=1, gamma_correction=False)
+    for s in range(max_spp):
+        img = render_path_traced(scene, camera, cfg1,
+                                 seed=seed * max_spp + s,
+                                 aperture=aperture, focus=focus)
+        use = (s < spp)[:, None]
+        acc = acc + jnp.where(use, img.reshape(-1, 3), 0.0)
+    out = (acc / spp[:, None]).reshape(H, W, 3)
+    if cfg.gamma_correction:  # gamma applies after accumulation (rgen:90-93)
+        out = jnp.sqrt(jnp.clip(out, 0.0, 1.0))
+    return out
+
+
 def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
                        cfg: RenderConfig, light_pos, light_radius=0.5,
                        seed: int = 0):

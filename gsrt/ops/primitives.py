@@ -10,6 +10,7 @@ primitives [P,...] → [R,P] hit distances (inf on miss) + normals.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 INF = jnp.inf
@@ -119,4 +120,79 @@ def ray_triangle(orig, dirn, v0, v1, v2, t_min, t_max):
 
 def triangle_normal(v0, v1, v2):
     n = jnp.cross(v1 - v0, v2 - v0)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def mandelbulb_de(p: jnp.ndarray, power: float = 8.0,
+                  iters: int = 8) -> jnp.ndarray:
+    """Power-8 Mandelbulb distance estimator, [ ...,3] → [...].
+
+    Same algorithm as RayTracing.ProceduralMandelbulb.rint:100-143 (which
+    Taylor-approximates sin/cos/log only because the simulated GPU lacked
+    transcendentals — the VPU has them natively). Includes the shader's
+    45°-about-z pre-rotation."""
+    c, s = jnp.cos(jnp.pi / 4), jnp.sin(jnp.pi / 4)
+    px = p[..., 0] * c - p[..., 1] * s
+    py = p[..., 0] * s + p[..., 1] * c
+    p = jnp.stack([px, py, p[..., 2]], -1)
+
+    zn = p
+    m = jnp.sum(zn * zn, -1)
+    dz = jnp.ones_like(m)
+    h = jnp.zeros_like(m)
+
+    def body(_, state):
+        zn, m, dz, h = state
+        rad = jnp.sqrt(jnp.maximum(m, 1e-20))
+        escaped = rad > 2.0
+        h_new = 0.25 * jnp.log(jnp.maximum(m, 1e-20)) * rad / dz
+        dz_new = power * m ** 3.5 * dz + 1.0
+        th = jnp.arctan2(jnp.linalg.norm(zn[..., :2], axis=-1), zn[..., 2])
+        phi = jnp.arctan2(zn[..., 1], zn[..., 0])
+        rp = rad ** power
+        zn_new = jnp.stack(
+            [rp * jnp.sin(power * th) * jnp.cos(power * phi),
+             rp * jnp.sin(power * th) * jnp.sin(power * phi),
+             rp * jnp.cos(power * th)], -1) + p
+        zn = jnp.where(escaped[..., None], zn, zn_new)
+        dz = jnp.where(escaped, dz, dz_new)
+        h = jnp.where(escaped, h_new, h)
+        m = jnp.sum(zn * zn, -1)
+        return zn, m, dz, h
+
+    _, _, _, h = jax.lax.fori_loop(0, iters, body, (zn, m, dz, h))
+    return h
+
+
+def ray_mandelbulb(orig, dirn, centers, radii, t_min, t_max,
+                   steps: int = 96):
+    """Sphere-bounded DE ray march (ProceduralMandelbulb.rint:146-166).
+    [R,3] rays × [P] bulbs → t [R,P] (inf on miss)."""
+    t_sph = ray_sphere(orig, dirn, centers, radii, t_min, t_max)  # entry
+    # exit distance of the bounding sphere
+    oc = orig[:, None, :] - centers[None, :, :]
+    b = jnp.sum(oc * dirn[:, None, :], -1)
+    c = jnp.sum(oc * oc, -1) - (radii ** 2)[None, :]
+    disc = jnp.maximum(b * b - c, 0.0)
+    t_exit = -b + jnp.sqrt(disc)
+
+    def body(_, t):
+        pt = orig[:, None, :] + t[..., None] * dirn[:, None, :]
+        d = mandelbulb_de(pt - centers[None, :, :])
+        return jnp.where(t <= t_exit, t + d, t)
+
+    t = jax.lax.fori_loop(0, steps, body, jnp.where(jnp.isfinite(t_sph),
+                                                    t_sph, t_exit + 1.0))
+    hit = (t <= t_exit) & jnp.isfinite(t_sph)
+    return jnp.where(hit, t, INF)
+
+
+def mandelbulb_normal(p, eps: float = 1e-3):
+    """Central-difference DE gradient."""
+    def d(v):
+        return mandelbulb_de(p + v)
+    ex = jnp.array([eps, 0, 0])
+    ey = jnp.array([0, eps, 0])
+    ez = jnp.array([0, 0, eps])
+    n = jnp.stack([d(ex) - d(-ex), d(ey) - d(-ey), d(ez) - d(-ez)], -1)
     return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
