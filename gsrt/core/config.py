@@ -57,7 +57,7 @@ class RenderConfig:
     # Pallas kernel (gsrt/ops/splat_pallas.py TILE_H/TILE_W)
     tile_w: int = 128
     tile_h: int = 8
-    pair_chunk: int = 128       # pairs per kernel chunk (multiple of 128)
+    pair_chunk: int = 256       # pairs per kernel chunk (multiple of 128)
     splat_chunk: int = 256      # splats per chunk in the brute-force paths
 
     # --- BVH ---

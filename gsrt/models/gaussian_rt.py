@@ -137,7 +137,6 @@ def render_reference(cloud: GaussianCloud, camera: Camera,
         merging per-chunk top-k buffers (replaces NextK insert-sort)."""
         def body(c, carry):
             kd, ka = carry
-            sl = slice(None)  # noqa
             ds = jax.lax.dynamic_slice_in_dim(depth, c * chunk, chunk)
             m2 = jax.lax.dynamic_slice_in_dim(mean2d, c * chunk, chunk)
             qd = jax.lax.dynamic_slice_in_dim(quad, c * chunk, chunk)
@@ -309,7 +308,9 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     if cloud.n == 0:
         return _empty_output(camera, cfg)
     depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
-    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff)
+    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff,
+                            opacity=cloud.opacity,
+                            alpha_threshold=cfg.alpha_threshold)
     alive = in_front & (cloud.opacity > cfg.alpha_threshold)
 
     from gsrt.ops.splat_pallas import TILE_H, TILE_W
@@ -350,7 +351,9 @@ def count_pairs(cloud: GaussianCloud, camera: Camera,
     from gsrt.ops.tile_binning import compute_tile_spans
     from gsrt.ops.splat_pallas import TILE_H, TILE_W
     depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
-    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff)
+    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff,
+                            opacity=cloud.opacity,
+                            alpha_threshold=cfg.alpha_threshold)
     alive = in_front & (cloud.opacity > cfg.alpha_threshold)
     *_, touched = compute_tile_spans(
         mean2d, rx, ry, alive, camera.width, camera.height, TILE_W, TILE_H)

@@ -157,20 +157,28 @@ def screen_radius(quad: jnp.ndarray, conic_mode: str,
     return jnp.sqrt(2.0 * g_cutoff / lam_min)
 
 
-def screen_extents(quad: jnp.ndarray, conic_mode: str,
-                   g_cutoff: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Tight per-axis half-extents (rx, ry) of the g ≤ g_cutoff ellipse.
+def screen_extents(quad: jnp.ndarray, conic_mode: str, g_cutoff: float,
+                   opacity: jnp.ndarray | None = None,
+                   alpha_threshold: float = 1.0 / 255.0,
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tight per-axis half-extents (rx, ry) of the visible ellipse.
 
     The ellipse dᵀQd ≤ 2G has axis-aligned bounding box half-widths
     rx = sqrt(2G·(Q⁻¹)₀₀), ry = sqrt(2G·(Q⁻¹)₁₁). Much tighter than the
-    circular screen_radius for anisotropic splats — directly cuts the
-    (tile, splat) pair count.
+    circular radius for anisotropic splats. When `opacity` is given, G is
+    further reduced to the point where alpha = opacity·e⁻ᵍ crosses the
+    alpha threshold (rint:107) — beyond it the splat contributes nothing,
+    so the footprint (and the pair count) shrinks for translucent splats.
     """
     a, b, c = quad[..., 0], quad[..., 1], quad[..., 2]
     det = jnp.maximum(a * c - b * b, 1e-18)
+    g = jnp.asarray(g_cutoff, quad.dtype)
+    if opacity is not None:
+        g_alpha = jnp.log(jnp.maximum(opacity / alpha_threshold, 1e-6))
+        g = jnp.minimum(g, jnp.maximum(g_alpha, 0.0))
     # Q⁻¹ = (1/det)·[[c, -b], [-b, a]]
-    rx = jnp.sqrt(jnp.maximum(2.0 * g_cutoff * c / det, 0.0))
-    ry = jnp.sqrt(jnp.maximum(2.0 * g_cutoff * a / det, 0.0))
+    rx = jnp.sqrt(jnp.maximum(2.0 * g * c / det, 0.0))
+    ry = jnp.sqrt(jnp.maximum(2.0 * g * a / det, 0.0))
     return rx, ry
 
 
