@@ -104,9 +104,11 @@ def cmd_pt(args) -> int:
     )
     from gsrt.utils.image import save_png
 
+    from gsrt.scene.primitives_catalog import planets_in_one_weekend
     scenes = {"rtiow": ray_tracing_in_one_weekend,
               "cornell": cornell_box,
-              "cubes": cube_and_spheres}
+              "cubes": cube_and_spheres,
+              "planets": planets_in_one_weekend}
     if args.scene == "obj":
         from gsrt.core.types import make_camera, look_at
         from gsrt.scene.obj import load_obj
@@ -140,6 +142,11 @@ def cmd_pt(args) -> int:
                                  if args.scene == "cornell" else (0, 5, 2))
     elif args.shader_type == "ao":
         img = render_ambient_occlusion(scene, camera, cfg)
+    elif args.shader_type == "foveated":
+        from gsrt.models.path_tracer import render_foveated
+        img = render_foveated(scene, camera, cfg,
+                              aperture=extra["aperture"],
+                              focus=extra["focus"])
     else:
         print(f"unknown shader type {args.shader_type}", file=sys.stderr)
         return 2
@@ -230,7 +237,8 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--scene", type=str, default="rtiow")
     p.add_argument("--obj", type=str, default=None)
-    p.add_argument("--shader-type", choices=["path", "shadow", "ao"],
+    p.add_argument("--shader-type",
+                   choices=["path", "shadow", "ao", "foveated"],
                    default="path")
     p.add_argument("--shadowrays", type=int, default=2)
     p.add_argument("--aorays", type=int, default=4)

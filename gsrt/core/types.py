@@ -166,12 +166,14 @@ class TriangleMesh(NamedTuple):
 class Materials(NamedTuple):
     """Material table — mirrors Assets::Material (Material.hpp:9-58):
     model ∈ {0: lambertian, 1: metallic, 2: dielectric, 3: isotropic,
-    4: diffuse_light}."""
+    4: diffuse_light}; texture_id ≥ 0 indexes the scene texture atlas
+    (DiffuseTextureId in the reference)."""
 
     model: jnp.ndarray            # [M] int32
     diffuse: jnp.ndarray          # [M, 3]
     fuzziness: jnp.ndarray        # [M]
     refraction_index: jnp.ndarray # [M]
+    texture_id: Optional[jnp.ndarray] = None  # [M] int32, -1 = untextured
 
     LAMBERTIAN = 0
     METALLIC = 1

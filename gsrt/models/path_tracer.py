@@ -40,7 +40,11 @@ from gsrt.ops.primitives import (
 
 class PrimitiveScene(NamedTuple):
     """Mixed-primitive scene SoA (the reference's per-model BLAS set,
-    flattened — sphere/cube procedurals + triangle geometry)."""
+    flattened — sphere/cube procedurals + triangle geometry).
+
+    `textures` is an optional [NT, TH, TW, 3] atlas sampled bilinearly by
+    Materials.texture_id (the reference's TextureSamplers array,
+    Scatter.glsl:18)."""
 
     sph_center: jnp.ndarray   # [S, 3]
     sph_radius: jnp.ndarray   # [S]
@@ -53,11 +57,43 @@ class PrimitiveScene(NamedTuple):
     tri_v2: jnp.ndarray
     tri_mat: jnp.ndarray      # [T]
     materials: Materials
+    textures: Optional[jnp.ndarray] = None   # [NT, TH, TW, 3]
 
     @property
     def counts(self):
         return (self.sph_center.shape[0], self.box_min.shape[0],
                 self.tri_v0.shape[0])
+
+
+def sample_texture(textures, tex_id, uv):
+    """Bilinear atlas sample: textures [NT,TH,TW,3], tex_id [R] (−1 → white),
+    uv [R,2] in [0,1). Mirrors the simulator's bilinear getTexture
+    (vulkan_ray_tracing.cc:1992+)."""
+    NT, TH, TW, _ = textures.shape
+    t = jnp.clip(tex_id, 0, NT - 1)
+    u = jnp.clip(uv[:, 0], 0.0, 1.0) * (TW - 1)
+    v = jnp.clip(uv[:, 1], 0.0, 1.0) * (TH - 1)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, TW - 1)
+    y1 = jnp.minimum(y0 + 1, TH - 1)
+    fx = (u - x0)[:, None]
+    fy = (v - y0)[:, None]
+    c00 = textures[t, y0, x0]
+    c01 = textures[t, y0, x1]
+    c10 = textures[t, y1, x0]
+    c11 = textures[t, y1, x1]
+    col = ((1 - fy) * ((1 - fx) * c00 + fx * c01)
+           + fy * ((1 - fx) * c10 + fx * c11))
+    return jnp.where((tex_id >= 0)[:, None], col, 1.0)
+
+
+def sphere_uv(normal):
+    """Equirectangular UV from the unit surface normal (the reference's
+    procedural-sphere texcoord, RayTracing.Procedural.rchit)."""
+    u = 0.5 + jnp.arctan2(normal[:, 2], normal[:, 0]) / (2 * jnp.pi)
+    v = 0.5 - jnp.arcsin(jnp.clip(normal[:, 1], -1, 1)) / jnp.pi
+    return jnp.stack([u, v], -1)
 
 
 def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
@@ -151,13 +187,17 @@ def _sky(dirn, has_sky):
     return jnp.where(has_sky, sky, jnp.zeros_like(sky))
 
 
-def _scatter(key, mats: Materials, mat_id, dirn, normal, hit_p):
+def _scatter(key, mats: Materials, mat_id, dirn, normal, hit_p,
+             tex_color=None):
     """All four scatter models evaluated dense + masked select
-    (Scatter.glsl:15-81). Returns (attenuation [R,3], new_dir [R,3],
+    (Scatter.glsl:15-81). tex_color [R,3] multiplies the diffuse albedo
+    (Scatter.glsl texColor). Returns (attenuation [R,3], new_dir [R,3],
     scattered [R] bool, emitted [R] bool)."""
     R = dirn.shape[0]
     model = mats.model[mat_id]
     diffuse = mats.diffuse[mat_id]
+    if tex_color is not None:
+        diffuse = diffuse * tex_color
     fuzz = mats.fuzziness[mat_id]
     ref_idx = mats.refraction_index[mat_id]
     d = dirn / jnp.maximum(jnp.linalg.norm(dirn, -1, keepdims=True), 1e-9)
@@ -195,7 +235,8 @@ def _scatter(key, mats: Materials, mat_id, dirn, normal, hit_p):
     new_dir = jnp.where(is_lam[:, None], lam_dir,
                jnp.where(is_met[:, None], met_dir,
                 jnp.where(is_die[:, None], die_dir, rand_unit)))
-    atten = jnp.where(is_die[:, None], jnp.ones(3), diffuse)
+    die_color = (jnp.ones(3) if tex_color is None else tex_color)
+    atten = jnp.where(is_die[:, None], die_color, diffuse)
     scattered = jnp.where(is_lam, lam_scattered,
                  jnp.where(is_met, met_scattered,
                   jnp.where(is_die | is_iso, True, False)))
@@ -254,9 +295,16 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
             out_color = out_color + jnp.where(
                 miss_now[:, None], ray_color * sky, 0.0)
 
+            tex_color = None
+            if scene.textures is not None and \
+                    scene.materials.texture_id is not None:
+                uv = sphere_uv(n)
+                tex_color = sample_texture(
+                    scene.textures, scene.materials.texture_id[mat], uv)
+
             atten, new_dir, scattered, is_light = _scatter(
                 ks, scene.materials, mat, dirn, n,
-                orig + t[:, None] * dirn)
+                orig + t[:, None] * dirn, tex_color)
             # light hit → emit, terminate (Scatter.glsl:57-63 + rgen:69-77)
             light_now = active & hit & is_light
             out_color = out_color + jnp.where(

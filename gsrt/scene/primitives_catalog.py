@@ -27,10 +27,16 @@ class _SceneBuilder:
         self.sph = []       # (center, radius, mat)
         self.boxes = []     # (bmin, bmax, mat)
         self.tris = []      # (v0, v1, v2, mat)
-        self.mats = []      # (model, diffuse, fuzz, refr)
+        self.mats = []      # (model, diffuse, fuzz, refr, tex_id)
+        self.textures = []  # [TH, TW, 3] arrays (uniform size)
 
-    def material(self, model, diffuse=(0, 0, 0), fuzz=0.0, refr=1.0) -> int:
-        self.mats.append((model, diffuse, fuzz, refr))
+    def texture(self, img) -> int:
+        self.textures.append(np.asarray(img, np.float32))
+        return len(self.textures) - 1
+
+    def material(self, model, diffuse=(0, 0, 0), fuzz=0.0, refr=1.0,
+                 tex_id=-1) -> int:
+        self.mats.append((model, diffuse, fuzz, refr, tex_id))
         return len(self.mats) - 1
 
     def lambertian(self, rgb):
@@ -68,8 +74,12 @@ class _SceneBuilder:
             diffuse=arr([m[1] for m in self.mats], (-1, 3)),
             fuzziness=arr([m[2] for m in self.mats], (-1,)),
             refraction_index=arr([m[3] for m in self.mats], (-1,)),
+            texture_id=arr([m[4] for m in self.mats], (-1,), np.int32),
         )
+        textures = (jnp.asarray(np.stack(self.textures))
+                    if self.textures else None)
         return PrimitiveScene(
+            textures=textures,
             sph_center=arr([s[0] for s in self.sph], (S, 3)),
             sph_radius=arr([s[1] for s in self.sph], (S,)),
             sph_mat=arr([s[2] for s in self.sph], (S,), np.int32),
@@ -144,6 +154,50 @@ def cornell_box(width=512, height=512, with_boxes=True):
     camera = make_camera(look_at((278, 278, 800), (278, 278, 0)),
                          40.0, width, height)
     return b.build(), camera, dict(aperture=0.0, focus=10.0, has_sky=False,
+                                   gamma=True)
+
+
+def _procedural_earth(th=128, tw=256):
+    """Procedural lat-long planet texture (stand-in for the reference's
+    land_ocean_ice_cloud_2048.png — no bundled binary assets)."""
+    v, u = np.mgrid[0:th, 0:tw].astype(np.float32)
+    u /= tw
+    v /= th
+    lat = (v - 0.5) * np.pi
+    # banded continents from a few sine octaves
+    land = (np.sin(u * 12.6 + np.sin(v * 9.4) * 2.0)
+            + 0.5 * np.sin(u * 31.4 + v * 17.0)
+            + 0.25 * np.sin(u * 63.0 - v * 40.0))
+    ocean = land < 0.3
+    img = np.where(ocean[..., None],
+                   np.array([0.05, 0.15, 0.45]),
+                   np.array([0.15, 0.45, 0.15]))
+    ice = np.abs(lat) > 1.25
+    img = np.where(ice[..., None], np.array([0.9, 0.92, 0.95]), img)
+    return img.astype(np.float32)
+
+
+def planets_in_one_weekend(width=640, height=480, seed=42):
+    """PlanetsInOneWeekend (SceneList.cpp:186+): the RTIOW layout with
+    textured hero spheres."""
+    rng = np.random.default_rng(seed)
+    b = _SceneBuilder()
+    tex = b.texture(_procedural_earth())
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian((0.5, 0.5, 0.5)))
+    for i in range(-11, 11, 2):
+        for j in range(-11, 11, 2):
+            center = np.array([i + 0.9 * rng.random(), 0.2,
+                               j + 0.9 * rng.random()])
+            if np.linalg.norm(center - np.array([4, 0.2, 0])) > 0.9:
+                b.sphere(center, 0.2,
+                         b.material(Materials.LAMBERTIAN,
+                                    (1.0, 1.0, 1.0), tex_id=tex))
+    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
+    b.sphere((-4, 1, 0), 1.0,
+             b.material(Materials.LAMBERTIAN, (1, 1, 1), tex_id=tex))
+    b.sphere((4, 1, 0), 1.0, b.metallic((0.7, 0.6, 0.5), 0.0))
+    camera = make_camera(look_at((13, 2, 3), (0, 0, 0)), 20.0, width, height)
+    return b.build(), camera, dict(aperture=0.1, focus=10.0, has_sky=True,
                                    gamma=True)
 
 
