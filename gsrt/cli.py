@@ -209,6 +209,68 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """PSNR/SSIM between two images (the north-star parity check)."""
+    from gsrt.utils.image import load_png, psnr, ssim
+    a = load_png(args.a)
+    b = load_png(args.b)
+    if a.shape != b.shape:
+        print(f"shape mismatch {a.shape} vs {b.shape}", file=sys.stderr)
+        return 2
+    p_db = psnr(a, b)
+    print(json.dumps({"psnr_db": round(min(p_db, 999.0), 3),  # cap inf (identical)
+                      "ssim": round(ssim(a, b), 4)}))
+    return 0
+
+
+def cmd_train(args) -> int:
+    """Fit a Gaussian cloud to a target image (single-camera demo of the
+    differentiable renderer); saves an INRIA .ply."""
+    import jax
+    import jax.numpy as jnp
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.gaussian_rt import render_fast
+    from gsrt.models.trainer import (make_optimizer, random_init, train_step)
+    from gsrt.scene.catalog import demo_gauss_splat
+    from gsrt.utils.image import load_png, save_png
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       conic_mode="standard")
+    if args.target:
+        target = jnp.asarray(load_png(args.target))
+        from gsrt.core.types import make_camera, look_at
+        camera = make_camera(look_at((0, 0, 0), (0, 0, 1)), 60.0,
+                             args.width, args.height)
+    else:  # self-supervised demo: fit the 2-gaussian reference scene
+        cloud, camera = demo_gauss_splat(args.width, args.height)
+        target = render_fast(cloud, camera, cfg).color
+
+    params = random_init(jax.random.PRNGKey(0), args.n_gaussians,
+                         extent=2.0, z_offset=4.0, sh_degree=0)
+    optimizer = make_optimizer(lr_means=2e-3, lr_scales=5e-3,
+                               lr_opacity=5e-2, lr_sh=1e-2)
+    opt_state = optimizer.init(params)
+    step = jax.jit(lambda p, s: train_step(
+        p, s, target, camera, cfg, optimizer, lambda_ssim=args.lambda_ssim))
+    for it in range(args.iters):
+        params, opt_state, loss = step(params, opt_state)
+        if it % max(1, args.iters // 10) == 0:
+            print(f"iter {it:5d}  loss {float(loss):.5f}")
+    if args.out:
+        save_png(args.out,
+                 __import__("numpy").asarray(
+                     render_fast(params.to_cloud(), camera, cfg).color))
+        print(f"wrote {args.out}")
+    if args.save_ply:
+        from gsrt.scene.ply import save_gaussian_ply
+        import numpy as np
+        save_gaussian_ply(args.save_ply, params.means,
+                          params.quats, jnp.exp(params.log_scales),
+                          jax.nn.sigmoid(params.opacity_logit), params.sh)
+        print(f"wrote {args.save_ply}")
+    return 0
+
+
 def main(argv=None) -> int:
     # honor JAX_PLATFORMS even when a site plugin (axon TPU) prepends itself
     import os
@@ -247,6 +309,20 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="lumibench-style sweep")
     _add_common(p)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("compare", help="PSNR/SSIM between two PNGs")
+    p.add_argument("a")
+    p.add_argument("b")
+    p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("train", help="fit gaussians to a target image")
+    _add_common(p)
+    p.add_argument("--target", type=str, default=None)
+    p.add_argument("--n-gaussians", type=int, default=256)
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--lambda-ssim", type=float, default=0.2)
+    p.add_argument("--save-ply", type=str, default=None)
+    p.set_defaults(fn=cmd_train)
 
     args = ap.parse_args(argv)
     return args.fn(args)
