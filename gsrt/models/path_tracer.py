@@ -44,7 +44,9 @@ class PrimitiveScene(NamedTuple):
 
     `textures` is an optional [NT, TH, TW, 3] atlas sampled bilinearly by
     Materials.texture_id (the reference's TextureSamplers array,
-    Scatter.glsl:18)."""
+    Scatter.glsl:18). `alpha_textures` [NT, TH, TW] carries cutout masks for
+    any-hit alpha masking (the TraceTree.rahit workload: hits with sampled
+    alpha < 0.5 are ignored and the ray continues)."""
 
     sph_center: jnp.ndarray   # [S, 3]
     sph_radius: jnp.ndarray   # [S]
@@ -57,7 +59,8 @@ class PrimitiveScene(NamedTuple):
     tri_v2: jnp.ndarray
     tri_mat: jnp.ndarray      # [T]
     materials: Materials
-    textures: Optional[jnp.ndarray] = None   # [NT, TH, TW, 3]
+    textures: Optional[jnp.ndarray] = None        # [NT, TH, TW, 3]
+    alpha_textures: Optional[jnp.ndarray] = None  # [NT, TH, TW]
 
     @property
     def counts(self):
@@ -142,6 +145,53 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
         best_m = jnp.where(upd, scene.tri_mat[i], best_m)
 
     return best_t, best_n, best_m, jnp.isfinite(best_t)
+
+
+def _sample_alpha(scene: PrimitiveScene, mat_id, normal):
+    """Cutout alpha at the hit (1.0 = opaque) — sampled from the alpha
+    atlas via the material's texture id."""
+    if scene.alpha_textures is None or scene.materials.texture_id is None:
+        return jnp.ones(mat_id.shape[0])
+    uv = sphere_uv(normal)
+    NT, TH, TW = scene.alpha_textures.shape
+    tex_id = scene.materials.texture_id[mat_id]
+    t = jnp.clip(tex_id, 0, NT - 1)
+    x = jnp.clip(uv[:, 0] * (TW - 1), 0, TW - 1).astype(jnp.int32)
+    y = jnp.clip(uv[:, 1] * (TH - 1), 0, TH - 1).astype(jnp.int32)
+    a = scene.alpha_textures[t, y, x]
+    return jnp.where(tex_id >= 0, a, 1.0)
+
+
+def _closest_hit_cutout(scene: PrimitiveScene, orig, dirn, t_min, t_max,
+                        max_skips: int = 3):
+    """Closest hit honoring alpha cutouts: hits with sampled alpha < 0.5
+    are skipped by re-tracing past them (the wavefront form of the
+    reference's any-hit ignore, TraceTree.rahit)."""
+    if scene.alpha_textures is None:
+        return _closest_hit(scene, orig, dirn, t_min, t_max)
+    R = orig.shape[0]
+    tmin_cur = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))[:, None]
+    state0 = (tmin_cur, jnp.full((R,), jnp.inf), jnp.zeros((R, 3)),
+              jnp.zeros((R,), jnp.int32), jnp.zeros((R,), bool),
+              jnp.zeros((R,), bool))
+
+    def body(_, state):
+        tmin_cur, bt, bn, bm, bhit, done = state
+        t, n, m, hit = _closest_hit(scene, orig, dirn, tmin_cur, t_max)
+        alpha = _sample_alpha(scene, m, n)
+        cut = hit & (alpha < 0.5) & ~done
+        settle = ~done & ~cut
+        bt = jnp.where(settle, t, bt)
+        bn = jnp.where(settle[:, None], n, bn)
+        bm = jnp.where(settle, m, bm)
+        bhit = jnp.where(settle, hit, bhit)
+        done = done | settle
+        tmin_cur = jnp.where(cut[:, None], t[:, None] + 1e-3, tmin_cur)
+        return tmin_cur, bt, bn, bm, bhit, done
+
+    _, bt, bn, bm, bhit, done = jax.lax.fori_loop(
+        0, max_skips + 1, body, state0)
+    return bt, bn, bm, bhit & done
 
 
 def _any_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
@@ -287,8 +337,8 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
         def bounce(b, state):
             key, orig, dirn, ray_color, out_color, active = state
             key, ks = jax.random.split(key)
-            t, n, mat, hit = _closest_hit(scene, orig, dirn,
-                                          cfg.t_min, cfg.t_max)
+            t, n, mat, hit = _closest_hit_cutout(scene, orig, dirn,
+                                                 cfg.t_min, cfg.t_max)
             # miss → sky, terminate (rmiss)
             sky = _sky(dirn, cfg.has_sky)
             miss_now = active & ~hit

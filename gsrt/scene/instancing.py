@@ -1,0 +1,117 @@
+"""Instancing: replicate shared geometry under per-instance transforms.
+
+The reference's TLAS holds one instance per BLAS with a 3x4 transform
+(RayTracing/Application.cpp:325-357; the simulator transforms rays
+world→object per instance leaf, vulkan_ray_tracing.cc:705-760). On TPU the
+scenes are static SoA, so instancing is resolved at scene build: geometry is
+replicated with transforms applied (bakes the TLAS flat — one level, no
+per-ray transforms on the hot path, which is the right trade for dense
+batched traversal). Memory-lean lazy instancing stays a roadmap item.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from gsrt.core.types import GaussianCloud
+from gsrt.models.path_tracer import PrimitiveScene
+
+
+def make_transform(translate=(0, 0, 0), rotate_y_deg: float = 0.0,
+                   scale: float = 1.0) -> np.ndarray:
+    """[3,4] affine: scale → rotate about y → translate (the composition
+    the reference scenes use, e.g. SceneList.cpp:296-300)."""
+    a = np.radians(rotate_y_deg)
+    c, s = np.cos(a), np.sin(a)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32) * scale
+    T = np.zeros((3, 4), np.float32)
+    T[:, :3] = R
+    T[:, 3] = translate
+    return T
+
+
+def _apply(T: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    return pts @ T[:, :3].T + T[:, 3]
+
+
+def instantiate_scene(scene: PrimitiveScene,
+                      transforms: Sequence[np.ndarray]) -> PrimitiveScene:
+    """Replicate every primitive of `scene` once per transform."""
+    outs = {}
+    sph_c, sph_r, sph_m = [], [], []
+    box_lo, box_hi, box_m = [], [], []
+    t0s, t1s, t2s, tms = [], [], [], []
+    for T in transforms:
+        T = np.asarray(T, np.float32)
+        uniform_scale = float(np.cbrt(max(np.linalg.det(T[:, :3]), 1e-12)))
+        if scene.sph_center.shape[0]:
+            sph_c.append(_apply(T, np.asarray(scene.sph_center)))
+            sph_r.append(np.asarray(scene.sph_radius) * uniform_scale)
+            sph_m.append(np.asarray(scene.sph_mat))
+        if scene.box_min.shape[0]:
+            # AABBs stay axis-aligned only under axis-aligned transforms;
+            # recompute from transformed corners (conservative box).
+            lo = np.asarray(scene.box_min)
+            hi = np.asarray(scene.box_max)
+            corners = np.stack([
+                np.stack([np.where(m & 1, hi[:, 0], lo[:, 0]),
+                          np.where(m & 2, hi[:, 1], lo[:, 1]),
+                          np.where(m & 4, hi[:, 2], lo[:, 2])], -1)
+                for m in range(8)], 1)                 # [B, 8, 3]
+            tc = _apply(T, corners.reshape(-1, 3)).reshape(-1, 8, 3)
+            box_lo.append(tc.min(1))
+            box_hi.append(tc.max(1))
+            box_m.append(np.asarray(scene.box_mat))
+        if scene.tri_v0.shape[0]:
+            t0s.append(_apply(T, np.asarray(scene.tri_v0)))
+            t1s.append(_apply(T, np.asarray(scene.tri_v1)))
+            t2s.append(_apply(T, np.asarray(scene.tri_v2)))
+            tms.append(np.asarray(scene.tri_mat))
+
+    def cat(parts, empty_shape):
+        if not parts:
+            return jnp.zeros(empty_shape,
+                             jnp.int32 if len(empty_shape) == 1 else
+                             jnp.float32)
+        return jnp.asarray(np.concatenate(parts, 0))
+
+    return PrimitiveScene(
+        sph_center=cat(sph_c, (0, 3)), sph_radius=cat(sph_r, (0,)),
+        sph_mat=cat(sph_m, (0,)).astype(jnp.int32),
+        box_min=cat(box_lo, (0, 3)), box_max=cat(box_hi, (0, 3)),
+        box_mat=cat(box_m, (0,)).astype(jnp.int32),
+        tri_v0=cat(t0s, (0, 3)), tri_v1=cat(t1s, (0, 3)),
+        tri_v2=cat(t2s, (0, 3)),
+        tri_mat=cat(tms, (0,)).astype(jnp.int32),
+        materials=scene.materials, textures=scene.textures)
+
+
+def instantiate_cloud(cloud: GaussianCloud,
+                      transforms: Sequence[np.ndarray]) -> GaussianCloud:
+    """Replicate a Gaussian cloud under rigid(+uniform scale) transforms:
+    means are transformed; Σ ← R Σ Rᵀ · s²."""
+    means, covs, ops, shs = [], [], [], []
+    for T in transforms:
+        T = np.asarray(T, np.float32)
+        R = T[:, :3]
+        s2 = float(np.cbrt(max(np.linalg.det(R), 1e-12))) ** 2
+        Rn = R / np.sqrt(s2) if s2 > 0 else R
+        c = np.asarray(cloud.cov3d)
+        sig = np.zeros((c.shape[0], 3, 3), np.float32)
+        sig[:, 0, 0], sig[:, 0, 1], sig[:, 0, 2] = c[:, 0], c[:, 1], c[:, 2]
+        sig[:, 1, 0], sig[:, 1, 1], sig[:, 1, 2] = c[:, 1], c[:, 3], c[:, 4]
+        sig[:, 2, 0], sig[:, 2, 1], sig[:, 2, 2] = c[:, 2], c[:, 4], c[:, 5]
+        sig = np.einsum("ij,njk,lk->nil", Rn, sig, Rn) * s2
+        covs.append(np.stack([sig[:, 0, 0], sig[:, 0, 1], sig[:, 0, 2],
+                              sig[:, 1, 1], sig[:, 1, 2], sig[:, 2, 2]], -1))
+        means.append(_apply(T, np.asarray(cloud.means)))
+        ops.append(np.asarray(cloud.opacity))
+        shs.append(np.asarray(cloud.sh))
+    return GaussianCloud(
+        means=jnp.asarray(np.concatenate(means)),
+        cov3d=jnp.asarray(np.concatenate(covs)),
+        opacity=jnp.asarray(np.concatenate(ops)),
+        sh=jnp.asarray(np.concatenate(shs)))

@@ -29,9 +29,13 @@ class _SceneBuilder:
         self.tris = []      # (v0, v1, v2, mat)
         self.mats = []      # (model, diffuse, fuzz, refr, tex_id)
         self.textures = []  # [TH, TW, 3] arrays (uniform size)
+        self.alphas = []    # [TH, TW] cutout masks (parallel to textures)
 
-    def texture(self, img) -> int:
-        self.textures.append(np.asarray(img, np.float32))
+    def texture(self, img, alpha=None) -> int:
+        img = np.asarray(img, np.float32)
+        self.textures.append(img)
+        self.alphas.append(np.ones(img.shape[:2], np.float32)
+                           if alpha is None else np.asarray(alpha, np.float32))
         return len(self.textures) - 1
 
     def material(self, model, diffuse=(0, 0, 0), fuzz=0.0, refr=1.0,
@@ -78,8 +82,12 @@ class _SceneBuilder:
         )
         textures = (jnp.asarray(np.stack(self.textures))
                     if self.textures else None)
+        has_cutout = any((a < 1.0).any() for a in self.alphas)
+        alpha_textures = (jnp.asarray(np.stack(self.alphas))
+                          if has_cutout else None)
         return PrimitiveScene(
             textures=textures,
+            alpha_textures=alpha_textures,
             sph_center=arr([s[0] for s in self.sph], (S, 3)),
             sph_radius=arr([s[1] for s in self.sph], (S,)),
             sph_mat=arr([s[2] for s in self.sph], (S,), np.int32),
