@@ -343,6 +343,92 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
                         passes=-(-hits // cfg.k), hits=hits)
 
 
+def trace_gaussian_rays(cloud: GaussianCloud, origins, dirs,
+                        cfg: RenderConfig, colors=None):
+    """Trace ARBITRARY ray bundles through a Gaussian scene — the k-buffer
+    multi-pass algorithm generalized from camera rays to free rays via the
+    ray-space response (ops.gaussian.ray_gaussian_response). This is the
+    capability the reference's Vulkan RT pipeline has structurally (any ray
+    can hit a splat BLAS) but never exercises beyond primary rays.
+
+    origins/dirs: [R,3] (dirs need not be normalized — depth is the ray
+    parameter t). Returns (trans [R], color [R,3], hits [R]).
+
+    Per pass: each ray gathers its k nearest (by t*) splats beyond its depth
+    front with alpha above threshold, composites front-to-back, advances the
+    front — exactly rgen:47-72 with t* as "depth". O(R·N) per pass, chunked;
+    intended for shadow/secondary bundles or moderate N (a BVH-filtered
+    version is a roadmap item).
+    """
+    from gsrt.ops.gaussian import invert_cov3d, ray_gaussian_response
+
+    R = origins.shape[0]
+    N = cloud.n
+    cov_inv = invert_cov3d(cloud.cov3d)
+    if colors is None:
+        cam_fake_dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+        colors = jnp.ones((N, 3)) * 0.5
+    chunk = min(cfg.splat_chunk, max(N, 8))
+    (means_p, cov_inv_p, opac_p, colors_p), n_pad = _pad_splats(
+        [cloud.means, cov_inv,
+         jnp.where(cloud.opacity > cfg.alpha_threshold, cloud.opacity, 0.0),
+         colors], N, chunk)
+    n_chunks = n_pad // chunk
+    init_d = jnp.float32(cfg.init_depth)
+    k = cfg.k
+
+    def one_pass(front):
+        def body(c, carry):
+            kd, ka, kc = carry
+            mu = jax.lax.dynamic_slice_in_dim(means_p, c * chunk, chunk)
+            ci = jax.lax.dynamic_slice_in_dim(cov_inv_p, c * chunk, chunk)
+            op = jax.lax.dynamic_slice_in_dim(opac_p, c * chunk, chunk)
+            col = jax.lax.dynamic_slice_in_dim(colors_p, c * chunk, chunk)
+            t_star, g = ray_gaussian_response(origins, dirs, mu, ci)
+            alpha = op[None, :] * jnp.exp(-g)
+            alpha = jnp.minimum(alpha, 0.99)
+            valid = ((g <= cfg.g_cutoff) & (alpha > cfg.alpha_threshold)
+                     & (t_star > jnp.maximum(front[:, None], cfg.t_min))
+                     & (t_star < cfg.t_max))
+            cd = jnp.where(valid, t_star, init_d)
+            md = jnp.concatenate([kd, cd], -1)
+            ma = jnp.concatenate([ka, jnp.where(valid, alpha, 0.0)], -1)
+            mc = jnp.concatenate(
+                [kc, jnp.broadcast_to(col[None], (R, chunk, 3))], -2)
+            neg, idx = jax.lax.top_k(-md, k)
+            return (-neg, jnp.take_along_axis(ma, idx, -1),
+                    jnp.take_along_axis(mc, idx[..., None], -2))
+
+        kd0 = jnp.full((R, k), init_d)
+        ka0 = jnp.zeros((R, k))
+        kc0 = jnp.zeros((R, k, 3))
+        kd, ka, kc = jax.lax.fori_loop(0, n_chunks, body, (kd0, ka0, kc0))
+        count = jnp.sum(kd < init_d, -1).astype(jnp.int32)
+        return kd, ka, kc, count
+
+    def cond(state):
+        return jnp.logical_not(jnp.all(state[4]))
+
+    def step(state):
+        front, trans, color, hits, done = state
+        kd, ka, kc, count = one_pass(front)
+        new_trans, new_color = composite_color(trans, color, ka, kc, count)
+        new_front = advance_depth_front(front, kd, count)
+        live = ~done
+        trans = jnp.where(live, new_trans, trans)
+        color = jnp.where(live[:, None], new_color, color)
+        front = jnp.where(live, new_front, front)
+        hits = hits + jnp.where(live, count, 0)
+        done = done | (count == 0) | (hits >= cfg.max_passes * k)
+        return front, trans, color, hits, done
+
+    state = (jnp.zeros(R), jnp.ones(R), jnp.zeros((R, 3)),
+             jnp.zeros(R, jnp.int32), jnp.zeros(R, bool))
+    front, trans, color, hits, done = jax.lax.while_loop(cond, step, state)
+    return trans, color, hits
+
+
 def count_pairs(cloud: GaussianCloud, camera: Camera,
                 cfg: RenderConfig) -> jnp.ndarray:
     """Total (tile, splat) pairs this view generates — used to right-size

@@ -194,6 +194,54 @@ def eval_gaussian_response(
     return 0.5 * (a * dx * dx + 2.0 * b * dx * dy + c * dy * dy)
 
 
+def invert_cov3d(cov3d: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """[...,6] upper-tri Σ → [...,6] upper-tri Σ⁻¹ (closed-form adjugate)."""
+    a, b, c, d, e, f = (cov3d[..., i] for i in range(6))
+    # | a b c |
+    # | b d e |
+    # | c e f |
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    return jnp.stack(
+        [A * inv_det, B * inv_det, C * inv_det,
+         (a * f - c * c) * inv_det, (b * c - a * e) * inv_det,
+         (a * d - b * b) * inv_det], axis=-1)
+
+
+def ray_gaussian_response(orig, dirn, means, cov3d_inv):
+    """Max response of rays against 3D Gaussians **in ray space** — the
+    3D generalization of the pixel-space EWA test, valid for ARBITRARY rays
+    (secondary/shadow), not just camera rays (3DGRT-style; the reference
+    only ever evaluates camera rays in pixel space, ProceduralGauss.rint).
+
+    For x(t) = o + t·d, q(t) = (x−μ)ᵀ Σ⁻¹ (x−μ) is minimized at
+    t* = −(dᵀΣ⁻¹m)/(dᵀΣ⁻¹d) with m = o−μ. Returns (t_star [R,P],
+    g_min [R,P]) where g_min = ½·q(t*) matches the 2D `g` semantics
+    (alpha = opacity·exp(−g))."""
+    i0, i1, i2, i3, i4, i5 = (cov3d_inv[..., i] for i in range(6))
+    m = orig[:, None, :] - means[None, :, :]            # [R,P,3]
+    mx, my, mz = m[..., 0], m[..., 1], m[..., 2]
+    dx = dirn[:, None, 0]
+    dy = dirn[:, None, 1]
+    dz = dirn[:, None, 2]
+    # Σ⁻¹ d  and Σ⁻¹ m (symmetric matvec, elementwise VPU)
+    sd_x = i0 * dx + i1 * dy + i2 * dz
+    sd_y = i1 * dx + i3 * dy + i4 * dz
+    sd_z = i2 * dx + i4 * dy + i5 * dz
+    d_sd = dx * sd_x + dy * sd_y + dz * sd_z            # dᵀΣ⁻¹d > 0
+    m_sd = mx * sd_x + my * sd_y + mz * sd_z            # mᵀΣ⁻¹d
+    sm_x = i0 * mx + i1 * my + i2 * mz
+    m_sm = mx * sm_x + my * (i1 * mx + i3 * my + i4 * mz) \
+        + mz * (i2 * mx + i4 * my + i5 * mz)            # mᵀΣ⁻¹m
+    d_sd_safe = jnp.maximum(d_sd, 1e-12)
+    t_star = -m_sd / d_sd_safe
+    q_min = m_sm - (m_sd * m_sd) / d_sd_safe
+    return t_star, 0.5 * jnp.maximum(q_min, 0.0)
+
+
 def splat_alpha(g, opacity, g_cutoff, alpha_threshold, exp_fn):
     """alpha = opacity·exp(−g) with the reference's gates:
     g ∈ [0, g_cutoff] (rint:103) and alpha > 1/255 (rint:107).
