@@ -36,6 +36,16 @@ def test_tiled_matches_fast(seed, n):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_tiled_reference_conic_mode():
+    """The tiled path must also reproduce the reference's quirk conic."""
+    cloud, camera = demo_gauss_splat(width=128, height=16)
+    cfg = RenderConfig(width=128, height=16, conic_mode="reference")
+    a = render_fast(cloud, camera, cfg)
+    b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 12)
+    np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_tiled_demo_scene():
     cloud, camera = demo_gauss_splat(width=128, height=16)
     cfg = RenderConfig(width=128, height=16, conic_mode="standard")
