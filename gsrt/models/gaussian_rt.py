@@ -41,7 +41,6 @@ from gsrt.ops.gaussian import (
 from gsrt.ops.kbuffer import (
     advance_depth_front,
     composite_color,
-    composite_transmittance,
     topk_nearest,
 )
 from gsrt.ops.sh import eval_sh

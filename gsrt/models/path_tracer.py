@@ -20,7 +20,6 @@ RTIOW and Cornell-box scenes; OBJ meshes via gsrt.scene.obj).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

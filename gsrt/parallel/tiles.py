@@ -26,14 +26,12 @@ All functions are jit-compatible and run on a CPU mesh
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gsrt.core.config import RenderConfig
 from gsrt.core.types import Camera, GaussianCloud

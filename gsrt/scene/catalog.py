@@ -12,8 +12,7 @@ from typing import Callable, Dict
 import jax.numpy as jnp
 import numpy as np
 
-from gsrt.core.config import RenderConfig
-from gsrt.core.types import Camera, GaussianCloud, make_camera, look_at
+from gsrt.core.types import GaussianCloud, make_camera, look_at
 from gsrt.ops.gaussian import quat_scale_to_cov3d
 
 

@@ -11,7 +11,7 @@ where opacity is a logit, scales are logs, and rot is an (unnormalized)
 from __future__ import annotations
 
 import io
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from gsrt.core.types import Camera, Materials, make_camera, look_at
+from gsrt.core.types import Materials, make_camera, look_at
 from gsrt.models.path_tracer import PrimitiveScene
 
 

@@ -5,14 +5,11 @@ phases (vulkan-sim/checkpoint.md). The renderer-level equivalents here:
 
 * scene checkpoints — GaussianCloud SoA (+ optional prebuilt BVH arrays) as
   a single .npz so expensive scene prep runs once per scene;
-* training checkpoints — GaussianParams + optimizer state via orbax (falls
-  back to npz when orbax is unavailable).
+* training checkpoints — GaussianParams + optimizer state as flattened
+  pytree leaves in .npz (self-contained; orbax not required).
 """
 
 from __future__ import annotations
-
-import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ adds the PSNR/SSIM comparison required by the north-star target.
 
 from __future__ import annotations
 
-import json
 import numpy as np
 
 
