@@ -319,6 +319,10 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         width=camera.width, height=camera.height,
         tile_w=TILE_W, tile_h=TILE_H,
         chunk=cfg.pair_chunk, max_pairs=max_pairs)
+    # Materialize binning outputs before the Pallas call: fusing XLA ops
+    # into the kernel's operands produced wrong layouts/garbage reads on
+    # the TPU backend (kernel verified correct on materialized inputs).
+    binning = jax.lax.optimization_barrier(binning)
 
     alpha_clamp = 0.99 if cfg.conic_mode == "standard" else 0.999999
     color, trans = blend_tiles(
@@ -445,6 +449,71 @@ def count_pairs(cloud: GaussianCloud, camera: Camera,
     return jnp.sum(touched)
 
 
+def count_pairs_numpy(cloud: GaussianCloud, camera: Camera,
+                      cfg: RenderConfig) -> int:
+    """Host-side (pure NumPy) replica of `count_pairs` — used for pair-buffer
+    sizing without compiling a second jax executable (see calibrate)."""
+    import numpy as np
+    from gsrt.ops.splat_pallas import TILE_H, TILE_W
+
+    means = np.asarray(cloud.means)
+    cov = np.asarray(cloud.cov3d)
+    opacity = np.asarray(cloud.opacity)
+    view = np.asarray(camera.view)
+    fx, fy = float(camera.fx), float(camera.fy)
+    R, t = view[:3, :3], view[:3, 3]
+    p = means @ R.T + t
+    z = p[:, 2]
+    in_front = z > 1e-4
+    zs = np.where(in_front, z, 1.0)
+    inv_z = 1.0 / zs
+    px_c = fx * p[:, 0] * inv_z + float(camera.cx)
+    py_c = fy * p[:, 1] * inv_z + float(camera.cy)
+    j00 = fx * inv_z
+    j02 = -fx * p[:, 0] * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * p[:, 1] * inv_z * inv_z
+    t0 = np.stack([j00 * R[0, 0] + j02 * R[2, 0],
+                   j00 * R[0, 1] + j02 * R[2, 1],
+                   j00 * R[0, 2] + j02 * R[2, 2]], -1)
+    t1 = np.stack([j11 * R[1, 0] + j12 * R[2, 0],
+                   j11 * R[1, 1] + j12 * R[2, 1],
+                   j11 * R[1, 2] + j12 * R[2, 2]], -1)
+    sig = np.zeros((means.shape[0], 3, 3), np.float32)
+    sig[:, 0, 0], sig[:, 0, 1], sig[:, 0, 2] = cov[:, 0], cov[:, 1], cov[:, 2]
+    sig[:, 1, 0], sig[:, 1, 1], sig[:, 1, 2] = cov[:, 1], cov[:, 3], cov[:, 4]
+    sig[:, 2, 0], sig[:, 2, 1], sig[:, 2, 2] = cov[:, 2], cov[:, 4], cov[:, 5]
+    u = np.einsum("nij,nj->ni", sig, t0)
+    v = np.einsum("nij,nj->ni", sig, t1)
+    a = np.sum(t0 * u, -1) + cfg.cov2d_dilation
+    b = np.sum(t1 * u, -1)
+    c = np.sum(t1 * v, -1) + cfg.cov2d_dilation
+    det = a * c - b * b
+    if cfg.conic_mode == "standard":
+        in_front &= det > 1e-12
+        dq = np.maximum(det, 1e-12)
+        qa, qb, qc = c / dq, -b / dq, a / dq
+    else:
+        qa, qb, qc = a, b, c
+    qdet = np.maximum(qa * qc - qb * qb, 1e-18)
+    g = np.minimum(cfg.g_cutoff,
+                   np.maximum(np.log(np.maximum(
+                       opacity / cfg.alpha_threshold, 1e-6)), 0.0))
+    rx = np.sqrt(np.maximum(2.0 * g * qc / qdet, 0.0))
+    ry = np.sqrt(np.maximum(2.0 * g * qa / qdet, 0.0))
+    alive = in_front & (opacity > cfg.alpha_threshold) & (rx > 0) & (ry > 0)
+    W, H = camera.width, camera.height
+    ntx, nty = -(-W // TILE_W), -(-H // TILE_H)
+    x0 = np.clip(np.floor((px_c - rx) / TILE_W), 0, ntx - 1)
+    x1 = np.clip(np.floor((px_c + rx) / TILE_W), 0, ntx - 1)
+    y0 = np.clip(np.floor((py_c - ry) / TILE_H), 0, nty - 1)
+    y1 = np.clip(np.floor((py_c + ry) / TILE_H), 0, nty - 1)
+    on = ((px_c + rx >= 0) & (px_c - rx < W) &
+          (py_c + ry >= 0) & (py_c - ry < H))
+    touched = np.where(alive & on, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
+    return int(touched.sum())
+
+
 class GaussianRayTracer:
     """Convenience wrapper choosing the execution path and jitting it.
 
@@ -474,7 +543,11 @@ class GaussianRayTracer:
         return self._tiled_cache[mp]
 
     def calibrate(self, cloud: GaussianCloud, camera: Camera) -> int:
-        total = int(self._count(cloud, camera))
+        # Pure-NumPy pair count: running ANY other sizable jax executable
+        # (TPU or CPU backend) in the same process makes re-execution of the
+        # render program fail with InvalidArgument on the axon TPU runtime,
+        # so sizing must not go through jax at all.
+        total = int(count_pairs_numpy(cloud, camera, self.cfg))
         need = max(1 << 14, int(total * 1.2))
         # {1, 1.5}·2^k buckets: ≤33% slack, rare recompiles
         p = 1 << (need - 1).bit_length()

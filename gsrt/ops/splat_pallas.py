@@ -118,7 +118,18 @@ def _blend_kernel(
         qa = pay[2:3, :][None]
         qb = pay[3:4, :][None]
         qc = pay[4:5, :][None]
-        op = pay[5:6, :][None]
+        # rows 5/6 hold 15-bit packed (r,g) and (b, opacity) with bit 30
+        # set to keep the f32 word normal (denormals flush on TPU) — see
+        # tile_binning.pack15. int32 ops (Mosaic can't cast uint32→f32).
+        from gsrt.ops.tile_binning import PACK_RANGE
+        inv_q = PACK_RANGE / 32767.0
+        pay_i = pltpu.bitcast(pay, jnp.int32)
+        rg = pay_i[5:6, :][None]
+        bo = pay_i[6:7, :][None]
+        cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+        cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
+        cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+        op = (bo & 0x7FFF).astype(jnp.float32) * inv_q
 
         dx = px - mean_x                        # (TILE_H, TILE_W, C)
         dy = py - mean_y
@@ -136,9 +147,9 @@ def _blend_kernel(
         excl, total = _cumprod_lanes_excl(one_minus, window)
         w = alpha * excl * trans[..., None]     # (TILE_H, TILE_W, C)
 
-        r_acc = r_acc + jnp.sum(w * pay[6:7, :][None], axis=-1)
-        g_acc = g_acc + jnp.sum(w * pay[7:8, :][None], axis=-1)
-        b_acc = b_acc + jnp.sum(w * pay[8:9, :][None], axis=-1)
+        r_acc = r_acc + jnp.sum(w * cr, axis=-1)
+        g_acc = g_acc + jnp.sum(w * cg, axis=-1)
+        b_acc = b_acc + jnp.sum(w * cb, axis=-1)
         trans = trans * total[..., 0]
         return c + 1, trans, r_acc, g_acc, b_acc
 

@@ -14,7 +14,8 @@ multi-M scale, sorts ≈ 5 ms per operand per 6M rows):
   * scatters serialize (18 s for 2M pairs) — everything here is gather;
   * `jnp.searchsorted` must use method="sort" where used (the default
     binary-search "scan" does log2(N) serialized 1D gathers);
-  * pair expansion uses `jnp.repeat` (streaming, ~2x cheaper than a
+  * pair expansion is ONE 2D `jnp.repeat` of the per-splat table (~2.5x
+    cheaper than splat-id expansion + row gather, ~5x cheaper than a
     searchsorted merge);
   * per-pair features ride THROUGH the tile sort as extra sort operands —
     cheaper than a post-sort random gather, and the sorted feature arrays
@@ -39,11 +40,29 @@ import jax
 import jax.numpy as jnp
 
 
-PAYLOAD_WIDTH = 16  # f32 features per pair, padded for lane alignment
+PAYLOAD_WIDTH = 8  # f32 rows per pair
 # payload feature rows:
 #   0: mean2d.x   1: mean2d.y   2: quad.a   3: quad.b   4: quad.c
-#   5: opacity    6: color.r    7: color.g  8: color.b  9-15: zero padding
-N_FEATURES = 9
+#   5: pack15(color.r, color.g)   6: pack15(color.b, opacity)   7: zero pad
+# colors/opacity are 15-bit fixed point on [0, PACK_RANGE) packed two per
+# f32 — halves payload bytes and sort-operand count; max error
+# PACK_RANGE/32767 ≈ 1.2e-4, far below the 1/255 alpha threshold.
+# Bit 30 is ALWAYS set so the bitcast word is a normal float: without it,
+# small channel values produce f32 DENORMALS, which TPU arithmetic flushes
+# to zero — silently erasing opacity (whole splats vanished).
+N_FEATURES = 7
+PACK_RANGE = 4.0
+_PACK_BIAS = jnp.int32(1 << 30)
+
+
+def pack15(x, y):
+    """Two [0, PACK_RANGE) floats → one NORMAL f32 holding
+    bit30 | (u15 << 15) | u15."""
+    q = 32767.0 / PACK_RANGE
+    xi = jnp.clip(x * q, 0, 32767).astype(jnp.int32)
+    yi = jnp.clip(y * q, 0, 32767).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(_PACK_BIAS | (xi << 15) | yi,
+                                        jnp.float32)
 
 
 class TileBinning(NamedTuple):
@@ -108,22 +127,23 @@ def build_tile_binning(
     total = offsets[-1]
     overflow = total > max_pairs
 
-    # one per-splat table: 4 int32 geometry cols (bitcast) + 9 f32 features
+    # one per-splat table: 4 int32 geometry cols (bitcast) + 7 feature cols
     tab = jnp.concatenate(
         [jax.lax.bitcast_convert_type(
             jnp.stack([x0, y0, x1 - x0 + 1, offsets - touched], -1),
             jnp.float32),
          jnp.stack([mean2d[:, 0], mean2d[:, 1],
-                    quad[:, 0], quad[:, 1], quad[:, 2], opacity,
-                    color[:, 0], color[:, 1], color[:, 2]], -1)],
-        axis=-1)                                     # [N, 13]
+                    quad[:, 0], quad[:, 1], quad[:, 2],
+                    pack15(color[:, 0], color[:, 1]),
+                    pack15(color[:, 2], opacity)], -1)],
+        axis=-1)                                     # [N, 11]
 
-    # --- expand splats → pairs (streaming repeat + ONE row gather) ---
-    splat = jnp.repeat(jnp.arange(N, dtype=jnp.int32), touched,
-                       total_repeat_length=max_pairs)
+    # --- expand splats → pairs: ONE 2D repeat (measured ~2.5x cheaper than
+    # materializing splat ids and row-gathering the table) ---
+    rows = jnp.repeat(tab, touched, axis=0,
+                      total_repeat_length=max_pairs)  # [MP, 11]
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = slots < jnp.minimum(total, max_pairs)
-    rows = tab[splat]                                # [MP, 13] row gather
     geom = jax.lax.bitcast_convert_type(rows[:, :4], jnp.int32)
     rank = slots - geom[:, 3]
     w_span = jnp.maximum(geom[:, 2], 1)
@@ -131,7 +151,7 @@ def build_tile_binning(
     ty = geom[:, 1] + rank // w_span
     tile = jnp.where(valid, ty * ntx + tx, T).astype(jnp.int32)  # sentinel T
 
-    # --- stable sort by tile, CARRYING the 9 features (splats are
+    # --- stable sort by tile, CARRYING the 7 feature rows (splats are
     # depth-ordered, so within-tile order stays front-to-back; carrying
     # beats a post-sort random gather) ---
     sorted_ops = jax.lax.sort(
@@ -150,8 +170,9 @@ def build_tile_binning(
     dead = tile_s >= T
     pad = chunk + 128
     payload = jnp.stack(
-        list(feats) + [jnp.zeros_like(tile_s, jnp.float32)] * (16 - N_FEATURES),
-        axis=0)                                      # [16, MP]
+        list(feats)
+        + [jnp.zeros_like(tile_s, jnp.float32)] * (PAYLOAD_WIDTH - N_FEATURES),
+        axis=0)                                      # [PAYLOAD_WIDTH, MP]
     payload = jnp.where(dead[None, :], 0.0, payload)
     payload = jnp.pad(payload, ((0, 0), (0, pad)))
 

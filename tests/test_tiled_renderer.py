@@ -31,9 +31,11 @@ def test_tiled_matches_fast(seed, n):
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 15)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=2e-4, atol=1e-4)
+    # atol 4e-4: payload colors/opacity are 16-bit packed (see
+    # tile_binning.pack16), quantization ~6e-5 per blended splat
     np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=1e-3, atol=4e-4)
 
 
 def test_tiled_reference_conic_mode():
@@ -43,7 +45,7 @@ def test_tiled_reference_conic_mode():
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 12)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=2e-4, atol=1e-4)
 
 
 def test_tiled_demo_scene():
@@ -52,7 +54,7 @@ def test_tiled_demo_scene():
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 13)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=2e-4, atol=1e-4)
 
 
 def test_tiled_overflow_flag():
@@ -116,3 +118,14 @@ def test_empty_tiles_render_background():
     # splat footprint is a couple of pixels at image center → corners clean
     assert t[0, 0] == 1.0 and t[-1, -1] == 1.0
     assert t[12, 128] < 1.0  # center actually hit
+
+
+def test_numpy_count_matches_jax():
+    """Buffer sizing (pure-NumPy count) must track the jax pair count."""
+    from gsrt.models.gaussian_rt import count_pairs, count_pairs_numpy
+    cloud, camera = random_cloud(400, seed=8, width=256, height=64)
+    cfg = RenderConfig(width=256, height=64, conic_mode="standard")
+    a = int(count_pairs(cloud, camera, cfg))
+    b = count_pairs_numpy(cloud, camera, cfg)
+    # fp rounding at tile borders may move a handful of pairs
+    assert abs(a - b) <= max(4, a // 1000), (a, b)
