@@ -325,11 +325,17 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     binning = jax.lax.optimization_barrier(binning)
 
     alpha_clamp = 0.99 if cfg.conic_mode == "standard" else 0.999999
+    # in standard mode with opacity ≤ 1, alpha > 1/255 implies g < ln(255)
+    # < 5.6 = g_cutoff — the kernel can skip the g-range test
+    skip_range = (cfg.conic_mode == "standard"
+                  and cfg.alpha_threshold >= 1.0 / 255.0
+                  and cfg.g_cutoff >= 5.55)
     color, trans = blend_tiles(
         binning, width=camera.width, height=camera.height,
         chunk=cfg.pair_chunk,
         g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
-        alpha_clamp=alpha_clamp, interpret=interpret)
+        alpha_clamp=alpha_clamp, interpret=interpret,
+        skip_range_check=skip_range)
 
     if cfg.white_background:
         color = color + trans[..., None]

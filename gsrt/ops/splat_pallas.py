@@ -64,7 +64,7 @@ def _blend_kernel(
     *,
     ntx: int, chunk: int,
     g_cutoff: float, alpha_threshold: float, alpha_clamp: float,
-    term_eps: float,
+    term_eps: float, skip_range_check: bool,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -134,13 +134,20 @@ def _blend_kernel(
         dx = px - mean_x                        # (TILE_H, TILE_W, C)
         dy = py - mean_y
         g = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy + qc * dy * dy)
-        in_range = (g >= 0.0) & (g <= g_cutoff)
-        alpha = op * jnp.exp(-jnp.where(in_range, g, 0.0))
-        alpha = jnp.minimum(alpha, alpha_clamp)
         # mask the alignment prefix and the ragged tail
         pair_idx = c * chunk + (lane - off)
         live_lane = (lane >= off) & (pair_idx < n) & (lane < off + chunk)
-        accept = in_range & (alpha > alpha_threshold) & live_lane
+        if skip_range_check:
+            # standard mode with opacity ≤ 1: alpha > 1/255 already implies
+            # g < ln(255) < 5.6, so the g-range test is redundant (g ≥ 0
+            # holds for a PSD conic; exp(−g) underflows cleanly for huge g)
+            alpha = jnp.minimum(op * jnp.exp(-g), alpha_clamp)
+            accept = (alpha > alpha_threshold) & live_lane
+        else:
+            in_range = (g >= 0.0) & (g <= g_cutoff)
+            alpha = op * jnp.exp(-jnp.where(in_range, g, 0.0))
+            alpha = jnp.minimum(alpha, alpha_clamp)
+            accept = in_range & (alpha > alpha_threshold) & live_lane
         alpha = jnp.where(accept, alpha, 0.0)
 
         one_minus = 1.0 - alpha
@@ -175,6 +182,7 @@ def blend_tiles(
     chunk: int = 128, g_cutoff: float = 5.6,
     alpha_threshold: float = 1.0 / 255.0, alpha_clamp: float = 0.99,
     term_eps: float = 1e-4, interpret: bool = False,
+    skip_range_check: bool = False,
 ):
     """Run the tile blend. Returns (color [H,W,3], trans [H,W]) cropped to
     the true image size."""
@@ -187,6 +195,7 @@ def blend_tiles(
         ntx=ntx, chunk=chunk, g_cutoff=g_cutoff,
         alpha_threshold=alpha_threshold,
         alpha_clamp=alpha_clamp, term_eps=term_eps,
+        skip_range_check=skip_range_check,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
