@@ -110,6 +110,9 @@ class RenderOutput(NamedTuple):
     passes: jnp.ndarray   # [H, W] int32 — k-buffer passes per pixel
                           #   (render_fast reports equivalent ceil(hits/k))
     hits: jnp.ndarray     # [H, W] int32 — splats blended per pixel
+    depth: Optional[jnp.ndarray] = None  # [H, W] alpha-weighted expected
+                          #   depth (render_fast with cfg-independent
+                          #   `with_depth=True`); None elsewhere
 
 
 def render_reference(cloud: GaussianCloud, camera: Camera,
@@ -230,8 +233,12 @@ def render_reference(cloud: GaussianCloud, camera: Camera,
 
 
 def render_fast(cloud: GaussianCloud, camera: Camera,
-                cfg: RenderConfig) -> RenderOutput:
-    """Single-sweep sorted front-to-back blend (see module docstring)."""
+                cfg: RenderConfig, with_depth: bool = False) -> RenderOutput:
+    """Single-sweep sorted front-to-back blend (see module docstring).
+
+    with_depth=True also accumulates the alpha-weighted expected depth
+    E[z] = Σ wᵢ·zᵢ (standard 3DGS depth map — a capability gap in the
+    reference, which tracks depth only as the k-buffer front)."""
     if cloud.n == 0:
         return _empty_output(camera, cfg)
     depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
@@ -255,7 +262,7 @@ def render_fast(cloud: GaussianCloud, camera: Camera,
     P = pix.shape[0]
 
     def body(c, carry):
-        trans, color, hits = carry
+        trans, color, hits, dacc = carry
         ds = jax.lax.dynamic_slice_in_dim(depth, c * chunk, chunk)
         m2 = jax.lax.dynamic_slice_in_dim(mean2d, c * chunk, chunk)
         qd = jax.lax.dynamic_slice_in_dim(quad, c * chunk, chunk)
@@ -271,13 +278,17 @@ def render_fast(cloud: GaussianCloud, camera: Camera,
         w = alpha * excl * trans[:, None]                       # [P, C]
         # [P,C]@[C,3] on the MXU; HIGHEST avoids the bf16 default-precision path
         color = color + jnp.dot(w, col, precision=jax.lax.Precision.HIGHEST)
+        if with_depth:
+            dacc = dacc + jnp.dot(w, jnp.where(jnp.isfinite(ds), ds, 0.0),
+                                  precision=jax.lax.Precision.HIGHEST)
         trans = trans * cum[:, -1]
         hits = hits + jnp.sum(accept, axis=-1).astype(jnp.int32)
-        return trans, color, hits
+        return trans, color, hits, dacc
 
-    trans, color, hits = jax.lax.fori_loop(
+    trans, color, hits, dacc = jax.lax.fori_loop(
         0, n_chunks, body,
-        (jnp.ones(P), jnp.zeros((P, 3)), jnp.zeros(P, jnp.int32)))
+        (jnp.ones(P), jnp.zeros((P, 3)), jnp.zeros(P, jnp.int32),
+         jnp.zeros(P)))
 
     if cfg.white_background:
         color = color + trans[:, None]
@@ -287,7 +298,8 @@ def render_fast(cloud: GaussianCloud, camera: Camera,
     return RenderOutput(trans=trans.reshape(H, W),
                         color=color.reshape(H, W, 3),
                         passes=passes.reshape(H, W),
-                        hits=hits.reshape(H, W))
+                        hits=hits.reshape(H, W),
+                        depth=dacc.reshape(H, W) if with_depth else None)
 
 
 def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,

@@ -109,3 +109,23 @@ def test_empty_scene_is_background():
     out = render_fast(cloud, camera, cfg)
     np.testing.assert_allclose(np.asarray(out.trans), 1.0)
     np.testing.assert_allclose(np.asarray(out.color), 0.0)
+
+
+def test_depth_map_output():
+    """render_fast's expected-depth map: a single opaque splat straight
+    ahead yields E[z] ≈ alpha-weighted splat depth at the center pixel."""
+    from gsrt.core.types import GaussianCloud
+    from gsrt.ops.gaussian import quat_scale_to_cov3d
+    cov = quat_scale_to_cov3d(jnp.array([[1.0, 0, 0, 0]]),
+                              jnp.array([[0.3, 0.3, 0.3]]))
+    cloud = GaussianCloud(means=jnp.array([[0.0, 0.0, 5.0]]), cov3d=cov,
+                          opacity=jnp.array([0.9]), sh=jnp.zeros((1, 1, 3)))
+    camera = make_camera(look_at((0, 0, 0), (0, 0, 1)), 60.0, 16, 16)
+    cfg = RenderConfig(width=16, height=16, conic_mode="standard")
+    out = render_fast(cloud, camera, cfg, with_depth=True)
+    assert out.depth is not None
+    center = float(out.depth[8, 8])
+    alpha = 1.0 - float(out.trans[8, 8])
+    np.testing.assert_allclose(center, alpha * 5.0, rtol=1e-3)
+    # empty corner: no depth
+    np.testing.assert_allclose(float(out.depth[0, 0]), 0.0, atol=1e-6)
