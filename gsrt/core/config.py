@@ -57,7 +57,9 @@ class RenderConfig:
     # Pallas kernel (gsrt/ops/splat_pallas.py TILE_H/TILE_W)
     tile_w: int = 128
     tile_h: int = 8
-    pair_chunk: int = 256       # pairs per kernel chunk (multiple of 128)
+    pair_chunk: int = 384       # pairs per kernel chunk (multiple of 128;
+                                # 384 best on v5e: less over-fetch than 256,
+                                # more VMEM headroom than 512)
     splat_chunk: int = 256      # splats per chunk in the brute-force paths
 
     # --- BVH ---
