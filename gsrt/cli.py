@@ -78,6 +78,10 @@ def cmd_render(args) -> int:
         print(f"wrote {args.out}")
     if args.dump_binary:
         dump_image_binary(args.dump_binary, color)
+    if args.heatmap:
+        from gsrt.utils.heatmap import heatmap
+        save_png(args.heatmap, heatmap(np.asarray(out.hits)))
+        print(f"wrote {args.heatmap}")
     if args.stats:
         st = RenderStats(width=args.width, height=args.height,
                          samples=args.samples, n_splats=cloud.n)
@@ -293,6 +297,8 @@ def main(argv=None) -> int:
     p.add_argument("--k", type=int, default=8)
     p.add_argument("--exp-lut", action="store_true")
     p.add_argument("--reference-conic", action="store_true")
+    p.add_argument("--heatmap", type=str, default=None,
+                   help="write per-pixel cost heatmap PNG (Heatmap.glsl analogue)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("pt", help="path tracing workloads")
