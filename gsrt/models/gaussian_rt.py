@@ -113,6 +113,9 @@ class RenderOutput(NamedTuple):
     depth: Optional[jnp.ndarray] = None  # [H, W] alpha-weighted expected
                           #   depth (render_fast with cfg-independent
                           #   `with_depth=True`); None elsewhere
+    overflow: Optional[jnp.ndarray] = None  # [] bool — tiled mode only:
+                          #   the view's true pair count exceeded max_pairs
+                          #   (farthest splats were truncated)
 
 
 def render_reference(cloud: GaussianCloud, camera: Camera,
@@ -194,11 +197,11 @@ def render_reference(cloud: GaussianCloud, camera: Camera,
         return kd, ka, kc, count
 
     def cond(state):
-        front, trans, color, passes, done = state
+        front, trans, color, passes, hits, done = state
         return jnp.logical_not(jnp.all(done))
 
     def step(state):
-        front, trans, color, passes, done = state
+        front, trans, color, passes, hits, done = state
         kd, ka, kc, count = one_pass_with_color(front)
         miss = count == 0
         new_trans, new_color = composite_color(trans, color, ka, kc, count)
@@ -208,17 +211,20 @@ def render_reference(cloud: GaussianCloud, camera: Camera,
         color = jnp.where(live[:, None], new_color, color)
         front = jnp.where(live, new_front, front)
         passes = passes + jnp.where(live & ~miss, 1, 0)
+        hits = hits + jnp.where(live, count, 0)
         done = done | miss | (passes >= cfg.max_passes)
-        return front, trans, color, passes, done
+        return front, trans, color, passes, hits, done
 
     state = (
         jnp.zeros(P),                 # depth front (rgen:30 "Rays.Depth = 0")
         jnp.ones(P),                  # transmittance (rgen:31 "Ray.Trans = 1")
         jnp.zeros((P, 3)),
         jnp.zeros(P, jnp.int32),
+        jnp.zeros(P, jnp.int32),      # splats blended per pixel
         jnp.zeros(P, bool),
     )
-    front, trans, color, passes, done = jax.lax.while_loop(cond, step, state)
+    front, trans, color, passes, hits, done = jax.lax.while_loop(
+        cond, step, state)
 
     if cfg.white_background:
         color = color + trans[:, None]
@@ -228,7 +234,7 @@ def render_reference(cloud: GaussianCloud, camera: Camera,
         trans=trans.reshape(H, W),
         color=color.reshape(H, W, 3),
         passes=passes.reshape(H, W),
-        hits=jnp.zeros((H, W), jnp.int32),
+        hits=hits.reshape(H, W),
     )
 
 
@@ -361,7 +367,8 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     tile_hits = binning.tile_count.reshape(nty, ntx)
     hits = jnp.repeat(jnp.repeat(tile_hits, th, 0), tw, 1)[:H, :W]
     return RenderOutput(trans=trans, color=color,
-                        passes=-(-hits // cfg.k), hits=hits)
+                        passes=-(-hits // cfg.k), hits=hits,
+                        overflow=binning.overflow)
 
 
 def trace_gaussian_rays(cloud: GaussianCloud, origins, dirs,
@@ -542,10 +549,11 @@ class GaussianRayTracer:
     """
 
     def __init__(self, cfg: RenderConfig, mode: str = "fast",
-                 max_pairs: Optional[int] = None):
+                 max_pairs: Optional[int] = None, interpret: bool = False):
         self.cfg = cfg
         self.mode = mode
         self.max_pairs = max_pairs
+        self.interpret = interpret  # run the Pallas kernel interpreted (CPU)
         self._count = jax.jit(functools.partial(count_pairs, cfg=cfg))
         self._tiled_cache: dict[int, callable] = {}
         if mode != "tiled":
@@ -557,7 +565,8 @@ class GaussianRayTracer:
     def _tiled_fn(self, mp: int):
         if mp not in self._tiled_cache:
             self._tiled_cache[mp] = jax.jit(functools.partial(
-                render_tiled, cfg=self.cfg, max_pairs=mp))
+                render_tiled, cfg=self.cfg, max_pairs=mp,
+                interpret=self.interpret))
         return self._tiled_cache[mp]
 
     def calibrate(self, cloud: GaussianCloud, camera: Camera) -> int:
@@ -580,4 +589,10 @@ class GaussianRayTracer:
             return self._render(cloud, camera)
         if self.max_pairs is None:
             self.calibrate(cloud, camera)
-        return self._tiled_fn(self.max_pairs)(cloud, camera)
+        out = self._tiled_fn(self.max_pairs)(cloud, camera)
+        # a frame past the calibration slack (camera zoom, scene growth)
+        # silently truncates the farthest pairs — re-calibrate and re-render
+        if out.overflow is not None and bool(out.overflow):
+            self.calibrate(cloud, camera)
+            out = self._tiled_fn(self.max_pairs)(cloud, camera)
+        return out

@@ -122,7 +122,10 @@ def render_splat_sharded(cloud: GaussianCloud, camera: Camera,
     assert camera.height % n_tiles == 0
     assert cloud.n % n_sh == 0
     slab_h = camera.height // n_tiles
-    slab_cfg = cfg.replace(height=slab_h)
+    # each shard blends only its depth slab — the background term belongs
+    # to the FINAL transmittance, added once after the composite (adding it
+    # per shard would count it once per slab, weighted by prefix trans)
+    slab_cfg = cfg.replace(height=slab_h, white_background=False)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -146,6 +149,8 @@ def render_splat_sharded(cloud: GaussianCloud, camera: Camera,
              jnp.cumprod(ts, axis=0)[:-1]], axis=0)
         color = jnp.sum(cs * excl[..., None], axis=0)
         trans = jnp.prod(ts, axis=0)
+        if cfg.white_background:
+            color = color + trans[..., None]
         return jnp.concatenate([trans[..., None], color], axis=-1)
 
     packed = shard_fn(cloud, camera)

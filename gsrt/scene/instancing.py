@@ -37,6 +37,34 @@ def _apply(T: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return pts @ T[:, :3].T + T[:, 3]
 
 
+def _is_axis_aligned(R: np.ndarray, tol: float = 1e-6) -> bool:
+    """True if the linear part maps axes onto (possibly scaled/permuted/
+    flipped) axes — i.e. exactly one nonzero entry per row/column."""
+    nz = np.abs(R) > tol * max(np.abs(R).max(), 1e-12)
+    return bool((nz.sum(0) == 1).all() and (nz.sum(1) == 1).all())
+
+
+# 12 triangles of a box from its 8 corners (corner index bit m: 1=x hi,
+# 2=y hi, 4=z hi), outward winding.
+_BOX_TRI_IDX = np.array([
+    [0, 2, 1], [1, 2, 3],   # z lo
+    [4, 5, 6], [5, 7, 6],   # z hi
+    [0, 1, 4], [1, 5, 4],   # y lo
+    [2, 6, 3], [3, 6, 7],   # y hi
+    [0, 4, 2], [2, 4, 6],   # x lo
+    [1, 3, 5], [3, 7, 5],   # x hi
+], np.int32)
+
+
+def _box_to_triangles(corners: np.ndarray, mats: np.ndarray):
+    """corners [B,8,3] → triangle soup (v0,v1,v2 [B*12,3], mat [B*12])."""
+    v0 = corners[:, _BOX_TRI_IDX[:, 0], :].reshape(-1, 3)
+    v1 = corners[:, _BOX_TRI_IDX[:, 1], :].reshape(-1, 3)
+    v2 = corners[:, _BOX_TRI_IDX[:, 2], :].reshape(-1, 3)
+    vm = np.repeat(mats, 12)
+    return v0, v1, v2, vm
+
+
 def instantiate_scene(scene: PrimitiveScene,
                       transforms: Sequence[np.ndarray]) -> PrimitiveScene:
     """Replicate every primitive of `scene` once per transform."""
@@ -52,8 +80,6 @@ def instantiate_scene(scene: PrimitiveScene,
             sph_r.append(np.asarray(scene.sph_radius) * uniform_scale)
             sph_m.append(np.asarray(scene.sph_mat))
         if scene.box_min.shape[0]:
-            # AABBs stay axis-aligned only under axis-aligned transforms;
-            # recompute from transformed corners (conservative box).
             lo = np.asarray(scene.box_min)
             hi = np.asarray(scene.box_max)
             corners = np.stack([
@@ -62,9 +88,23 @@ def instantiate_scene(scene: PrimitiveScene,
                           np.where(m & 4, hi[:, 2], lo[:, 2])], -1)
                 for m in range(8)], 1)                 # [B, 8, 3]
             tc = _apply(T, corners.reshape(-1, 3)).reshape(-1, 8, 3)
-            box_lo.append(tc.min(1))
-            box_hi.append(tc.max(1))
-            box_m.append(np.asarray(scene.box_mat))
+            if _is_axis_aligned(T[:, :3]):
+                # axis-aligned transform: the box stays a box
+                box_lo.append(tc.min(1))
+                box_hi.append(tc.max(1))
+                box_m.append(np.asarray(scene.box_mat))
+            else:
+                # rotated boxes can't be represented by an AABB (ray_box
+                # renders the AABB as real geometry) — emit 12 triangles
+                # per box instead, matching the reference where rotated
+                # boxes are triangle models (SceneList.cpp CornellBox
+                # boxes are meshes, not procedural AABBs)
+                v0, v1, v2, vm = _box_to_triangles(
+                    tc, np.asarray(scene.box_mat))
+                t0s.append(v0)
+                t1s.append(v1)
+                t2s.append(v2)
+                tms.append(vm)
         if scene.tri_v0.shape[0]:
             t0s.append(_apply(T, np.asarray(scene.tri_v0)))
             t1s.append(_apply(T, np.asarray(scene.tri_v1)))
@@ -86,7 +126,8 @@ def instantiate_scene(scene: PrimitiveScene,
         tri_v0=cat(t0s, (0, 3)), tri_v1=cat(t1s, (0, 3)),
         tri_v2=cat(t2s, (0, 3)),
         tri_mat=cat(tms, (0,)).astype(jnp.int32),
-        materials=scene.materials, textures=scene.textures)
+        materials=scene.materials, textures=scene.textures,
+        alpha_textures=scene.alpha_textures)
 
 
 def instantiate_cloud(cloud: GaussianCloud,

@@ -20,6 +20,7 @@ def test_device_count():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single():
     cloud, camera = random_cloud(200, seed=5, width=64, height=64)
     cfg = RenderConfig(width=64, height=64, conic_mode="standard")
@@ -32,6 +33,7 @@ def test_data_parallel_matches_single():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_splat_sharded_matches_single():
     cloud, camera = random_cloud(333, seed=6, width=64, height=32)
     cfg = RenderConfig(width=64, height=32, conic_mode="standard")
@@ -45,6 +47,23 @@ def test_splat_sharded_matches_single():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_splat_sharded_white_background():
+    """The white-background term must enter once with the TOTAL
+    transmittance, not once per depth slab (regression: per-shard bg was
+    summed over prefix transmittances, inflating brightness)."""
+    cloud, camera = random_cloud(333, seed=6, width=64, height=32)
+    cfg = RenderConfig(width=64, height=32, conic_mode="standard",
+                       white_background=True)
+    ref = render_fast(cloud, camera, cfg)
+    mesh = make_render_mesh(n_tiles=2, n_splats=4)
+    sharded = shard_cloud_by_depth(cloud, camera, 4)
+    trans, color = render_splat_sharded(sharded, camera, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_splat_sharded_full_splat_axis():
     cloud, camera = random_cloud(160, seed=7, width=64, height=8)
     cfg = RenderConfig(width=64, height=8, conic_mode="standard")

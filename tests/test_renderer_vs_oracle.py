@@ -77,6 +77,7 @@ def test_random_cloud_matches_oracle(mode):
                                rtol=5e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_fast_equals_reference_mode():
     """The sorted one-sweep path must equal the multi-pass k-buffer path
     (mathematical identity; see gaussian_rt module docstring)."""

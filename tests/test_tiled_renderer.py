@@ -24,6 +24,7 @@ def _render_tiled_interp(cloud, camera, cfg, max_pairs):
                         interpret=True)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed,n", [(3, 120)])
 def test_tiled_matches_fast(seed, n):
     cloud, camera = random_cloud(n, seed=seed, width=128, height=32)
@@ -118,6 +119,27 @@ def test_empty_tiles_render_background():
     # splat footprint is a couple of pixels at image center → corners clean
     assert t[0, 0] == 1.0 and t[-1, -1] == 1.0
     assert t[12, 128] < 1.0  # center actually hit
+
+
+@pytest.mark.slow
+def test_overflow_recalibrates_and_matches_fast():
+    """A camera zoom after calibration overflows the pair bucket; the
+    wrapper must detect it, re-calibrate, and produce the same image as
+    render_fast (regression: jnp.repeat used to truncate silently)."""
+    from gsrt.models.gaussian_rt import GaussianRayTracer
+
+    cloud, camera = random_cloud(150, seed=9, width=128, height=32)
+    cfg = RenderConfig(width=128, height=32, conic_mode="standard")
+    # a stale calibration too small for this view (as after a camera zoom)
+    rt = GaussianRayTracer(cfg, "tiled", max_pairs=128, interpret=True)
+    out = rt(cloud, camera)
+    assert rt.max_pairs > 128, "overflow must trigger re-calibration"
+    assert not bool(out.overflow)
+    ref = render_fast(cloud, camera, cfg)
+    np.testing.assert_allclose(np.asarray(out.trans), np.asarray(ref.trans),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               rtol=1e-3, atol=4e-4)
 
 
 def test_numpy_count_matches_jax():

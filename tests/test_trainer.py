@@ -54,6 +54,7 @@ def test_gradient_matches_finite_difference():
                                rtol=5e-2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss():
     """Fit 32 random gaussians to a target render of the demo scene."""
     cloud, camera = demo_gauss_splat(width=24, height=16)
@@ -75,6 +76,7 @@ def test_training_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_train_step_dp_matches_single_device():
     """DP gradient step over the CPU mesh == single-device step (λ_ssim=0
     so slab borders don't matter)."""
