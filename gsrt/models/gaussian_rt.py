@@ -313,13 +313,20 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
                  interpret: bool = False) -> RenderOutput:
     """Tile-binned splatting — the performance path (SURVEY.md §7.3 steps 4-6).
 
-    Projects all splats, bins their footprints to 16x16-pixel tiles with one
-    global (tile, depth) sort (gsrt.ops.tile_binning), then blends each
-    tile's chunk-aligned pair list front-to-back in a Pallas kernel
-    (gsrt.ops.splat_pallas). Work scales with Σ per-tile pairs instead of
-    pixels × splats. Exact-exp only (no LUT mode).
+    Projects all splats, bins their footprints to cfg.tile_w x cfg.tile_h
+    pixel tiles with one global (tile, depth) sort (gsrt.ops.tile_binning),
+    then blends each tile's chunk-aligned pair list front-to-back in a
+    Pallas kernel. Work scales with Σ per-tile pairs instead of pixels ×
+    splats. Two kernels share the math:
+
+      * (128, 8) tiles → gsrt.ops.splat_pallas (round-1 kernel, one VPU
+        register per tile);
+      * smaller tiles (e.g. 16x16, the default) → gsrt.ops.splat_subtile,
+        which evaluates each pair against only the tile_w*tile_h pixels its
+        footprint can cover (~4-8x less VPU work per pair).
+
+    Exact-exp only (no LUT mode).
     """
-    from gsrt.ops.splat_pallas import blend_tiles
     from gsrt.ops.tile_binning import build_tile_binning
 
     if cloud.n == 0:
@@ -330,13 +337,14 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
                             alpha_threshold=cfg.alpha_threshold)
     alive = in_front & (cloud.opacity > cfg.alpha_threshold)
 
-    from gsrt.ops.splat_pallas import TILE_H, TILE_W
+    tw, th = cfg.tile_w, cfg.tile_h
 
     binning = build_tile_binning(
         depth, mean2d, quad, cloud.opacity, colors, rx, ry, alive,
         width=camera.width, height=camera.height,
-        tile_w=TILE_W, tile_h=TILE_H,
-        chunk=cfg.pair_chunk, max_pairs=max_pairs)
+        tile_w=tw, tile_h=th,
+        chunk=cfg.pair_chunk, max_pairs=max_pairs,
+        expand_impl="pallas", interpret=interpret)
     # Materialize binning outputs before the Pallas call: fusing XLA ops
     # into the kernel's operands produced wrong layouts/garbage reads on
     # the TPU backend (kernel verified correct on materialized inputs).
@@ -348,18 +356,27 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     skip_range = (cfg.conic_mode == "standard"
                   and cfg.alpha_threshold >= 1.0 / 255.0
                   and cfg.g_cutoff >= 5.55)
-    color, trans = blend_tiles(
-        binning, width=camera.width, height=camera.height,
-        chunk=cfg.pair_chunk,
-        g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
-        alpha_clamp=alpha_clamp, interpret=interpret,
-        skip_range_check=skip_range)
+    if (tw, th) == (128, 8):
+        from gsrt.ops.splat_pallas import blend_tiles
+        color, trans = blend_tiles(
+            binning, width=camera.width, height=camera.height,
+            chunk=cfg.pair_chunk,
+            g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
+            alpha_clamp=alpha_clamp, interpret=interpret,
+            skip_range_check=skip_range)
+    else:
+        from gsrt.ops.splat_subtile import blend_subtiles
+        color, trans = blend_subtiles(
+            binning, width=camera.width, height=camera.height,
+            sub_w=tw, sub_h=th, chunk=cfg.pair_chunk,
+            g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
+            alpha_clamp=alpha_clamp, interpret=interpret,
+            skip_range_check=skip_range)
 
     if cfg.white_background:
         color = color + trans[..., None]
 
     H, W = camera.height, camera.width
-    th, tw = TILE_H, TILE_W
     # per-pixel hit counts are not tracked in the fused kernel; report the
     # tile's pair count for every pixel of the tile (metrics-grade, not exact)
     ntx = -(-W // tw)
@@ -463,14 +480,14 @@ def count_pairs(cloud: GaussianCloud, camera: Camera,
     the static pair buffers (the analogue of the reference's fixed
     1000-entry per-warp tables, intersection_table.h:42)."""
     from gsrt.ops.tile_binning import compute_tile_spans
-    from gsrt.ops.splat_pallas import TILE_H, TILE_W
     depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
     rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff,
                             opacity=cloud.opacity,
                             alpha_threshold=cfg.alpha_threshold)
     alive = in_front & (cloud.opacity > cfg.alpha_threshold)
     *_, touched = compute_tile_spans(
-        mean2d, rx, ry, alive, camera.width, camera.height, TILE_W, TILE_H)
+        mean2d, rx, ry, alive, camera.width, camera.height,
+        cfg.tile_w, cfg.tile_h)
     return jnp.sum(touched)
 
 
@@ -479,8 +496,8 @@ def count_pairs_numpy(cloud: GaussianCloud, camera: Camera,
     """Host-side (pure NumPy) replica of `count_pairs` — used for pair-buffer
     sizing without compiling a second jax executable (see calibrate)."""
     import numpy as np
-    from gsrt.ops.splat_pallas import TILE_H, TILE_W
 
+    TILE_W, TILE_H = cfg.tile_w, cfg.tile_h
     means = np.asarray(cloud.means)
     cov = np.asarray(cloud.cov3d)
     opacity = np.asarray(cloud.opacity)
@@ -576,9 +593,12 @@ class GaussianRayTracer:
         # so sizing must not go through jax at all.
         total = int(count_pairs_numpy(cloud, camera, self.cfg))
         need = max(1 << 14, int(total * 1.2))
-        # {1, 1.5}·2^k buckets: ≤33% slack, rare recompiles
+        # (k/8)·2^j buckets: ≤12.5% bucket slack (the pair sort is the
+        # single most expensive stage — it scales with the STATIC buffer
+        # size, so loose buckets directly cost frame time)
         p = 1 << (need - 1).bit_length()
-        mp = p if need > 3 * p // 4 else 3 * p // 4
+        step = max(p // 8, 128)
+        mp = -(-need // step) * step
         # binning rounds slots to the 128-lane chunk grid
         mp = -(-mp // 128) * 128
         self.max_pairs = mp

@@ -1,0 +1,269 @@
+"""Pallas TPU kernel: subtile front-to-back splat blending (round-2 kernel).
+
+Successor to gsrt.ops.splat_pallas. The round-1 kernel evaluated every
+(tile, splat) pair against all 1024 pixels of an 8x128 tile while median
+footprints are ~10-20 px — ~90% of the VPU lanes computed responses that
+were rejected (the TPU analogue of the reference's rt_unit evaluating an
+intersection shader for every lane of a warp, shader.cc:2882-3290).
+
+This kernel bins to small subtiles (default 16x16 px = 256-px window) so a
+pair is only evaluated against the WIN = sub_w*sub_h pixels it can actually
+cover. Smaller tiles duplicate border splats into more tiles (measured
+pair inflation ~1.1-1.7x depending on shape), but per-pair blend work drops
+by 1024/WIN = 4-8x — a large net win.
+
+Layout:
+  * one grid step owns BS consecutive subtiles (BS*WIN = 1024 px, so the
+    output block is still one fully-aligned (BS, WIN) f32 tile);
+  * their pair segments are contiguous in the payload (tile ids are
+    y-major), so the step streams ONE chunk sequence with double-buffered
+    DMA exactly like the round-1 kernel — no pipeline stalls at subtile
+    boundaries;
+  * per chunk, all pairs belong to one subtile (chunks never span
+    boundaries); compute shape is (WIN pixels, chunk pairs) instead of
+    (1024, chunk);
+  * per-(pixel, subtile) accumulators live in (WIN, BS) carries; the
+    current subtile's column is selected/updated with a one-hot mask
+    (cheap: (WIN, BS) ops are 1/32 the size of the (WIN, C) math);
+  * output is written subtile-major (T, WIN); the caller unshuffles to the
+    (H, W) framebuffer with one cheap XLA reshape+transpose.
+
+The splat math (EWA response, pack15 color decode, exclusive-cumprod scan)
+is identical to splat_pallas so oracle-parity tests carry over.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsrt.ops.splat_pallas import _cumprod_lanes_excl
+from gsrt.ops.tile_binning import (PACK_RANGE, PAYLOAD_WIDTH, TileBinning,
+                                   tile_extent)
+
+
+def _blend_subtile_kernel(
+    # scalar prefetch
+    tile_start_ref,        # [T_pad + 1] int32 in SMEM
+    # inputs
+    payload_hbm,           # [PAYLOAD_WIDTH, MP + chunk + 128] in HBM
+    # outputs
+    color_ref,             # [3, BS, WIN] VMEM
+    trans_ref,             # [BS, WIN] VMEM
+    # scratch
+    buf,                   # [2, PAYLOAD_WIDTH, chunk + 128] VMEM
+    sem,                   # DMA semaphores (2,)
+    *,
+    ntx: int, sub_w: int, sub_h: int, bs: int, chunk: int,
+    g_cutoff: float, alpha_threshold: float, alpha_clamp: float,
+    term_eps: float, skip_range_check: bool,
+):
+    grp = pl.program_id(0)
+    t0 = grp * bs
+    win = sub_w * sub_h
+    window = chunk + 128
+
+    # per-subtile segment bounds and chunk counts (scalar core)
+    starts = [tile_start_ref[t0 + s] for s in range(bs + 1)]
+    ns = [starts[s + 1] - starts[s] for s in range(bs)]
+    ncs = [pl.cdiv(ns[s], chunk) for s in range(bs)]
+    # prefix of chunk counts: chunk j of the group -> (subtile s, chunk c)
+    pfx = [jnp.int32(0)]
+    for s in range(bs):
+        pfx.append(pfx[-1] + ncs[s])
+    total_chunks = pfx[-1]
+
+    def locate(j):
+        """Group-chunk index -> (subtile, chunk-within-subtile, seg start,
+        seg length). Scalar ops only."""
+        s = jnp.int32(0)
+        for k in range(1, bs):
+            s = s + (j >= pfx[k]).astype(jnp.int32)
+        b = jnp.int32(starts[0])
+        n = jnp.int32(ns[0])
+        p = jnp.int32(0)
+        for k in range(bs):
+            hit = s == k
+            b = jnp.where(hit, starts[k], b)
+            n = jnp.where(hit, ns[k], n)
+            p = jnp.where(hit, pfx[k], p)
+        return s, j - p, b, n
+
+    def dma(slot, j):
+        _, c, b, _ = locate(j)
+        col = pl.multiple_of(((b + c * chunk) // 128) * 128, 128)
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(col, window)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(total_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    # pixel coordinates of the WIN-px window, in row-major window order
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+    xloc = (p_idx % sub_w).astype(jnp.float32)
+    yloc = (p_idx // sub_w).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+    col_sel = jax.lax.broadcasted_iota(jnp.int32, (win, bs), 1)
+
+    inv_q = PACK_RANGE / 32767.0
+
+    def body(state):
+        j, trans, r_acc, g_acc, b_acc = state
+        s, c, b, n = locate(j)
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < total_chunks)
+        def _():
+            dma(1 - slot, j + 1).start()
+
+        dma(slot, j).wait()
+        pay = buf[slot]                          # (PAYLOAD_WIDTH, window)
+
+        seg = b + c * chunk                      # first pair of this chunk
+        off = seg - (seg // 128) * 128           # alignment prefix lanes
+
+        t = t0 + s
+        ox = ((t % ntx) * sub_w).astype(jnp.float32)
+        oy = ((t // ntx) * sub_h).astype(jnp.float32)
+
+        mean_x = pay[0:1, :]                     # (1, window)
+        mean_y = pay[1:2, :]
+        qa = pay[2:3, :]
+        qb = pay[3:4, :]
+        qc = pay[4:5, :]
+        pay_i = pltpu.bitcast(pay, jnp.int32)
+        rg = pay_i[5:6, :]
+        bo = pay_i[6:7, :]
+        cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+        cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
+        cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+        op = (bo & 0x7FFF).astype(jnp.float32) * inv_q
+
+        dx = (xloc + ox) - mean_x                # (win, window)
+        dy = (yloc + oy) - mean_y
+        gq = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy + qc * dy * dy)
+
+        pair_idx = c * chunk + (lane - off)
+        live_lane = (lane >= off) & (pair_idx < n) & (lane < off + chunk)
+        if skip_range_check:
+            alpha = jnp.minimum(op * jnp.exp(-gq), alpha_clamp)
+            accept = (alpha > alpha_threshold) & live_lane
+        else:
+            in_range = (gq >= 0.0) & (gq <= g_cutoff)
+            alpha = op * jnp.exp(-jnp.where(in_range, gq, 0.0))
+            alpha = jnp.minimum(alpha, alpha_clamp)
+            accept = in_range & (alpha > alpha_threshold) & live_lane
+        alpha = jnp.where(accept, alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        excl, total = _cumprod_lanes_excl(one_minus, window)
+
+        colmask = col_sel == s                   # (win, bs)
+        trans_s = jnp.sum(jnp.where(colmask, trans, 0.0), axis=1,
+                          keepdims=True)         # (win, 1)
+        w = alpha * excl * trans_s               # (win, window)
+
+        r_c = jnp.sum(w * cr, axis=-1, keepdims=True)
+        g_c = jnp.sum(w * cg, axis=-1, keepdims=True)
+        b_c = jnp.sum(w * cb, axis=-1, keepdims=True)
+
+        trans = jnp.where(colmask, trans * total, trans)
+        r_acc = jnp.where(colmask, r_acc + r_c, r_acc)
+        g_acc = jnp.where(colmask, g_acc + g_c, g_acc)
+        b_acc = jnp.where(colmask, b_acc + b_c, b_acc)
+        return j + 1, trans, r_acc, g_acc, b_acc
+
+    def cond(state):
+        return state[0] < total_chunks
+
+    zero = jnp.zeros((win, bs), jnp.float32)
+    _, trans, r_acc, g_acc, b_acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero + 1.0, zero, zero, zero))
+
+    trans_ref[...] = trans.T
+    color_ref[0, :, :] = r_acc.T
+    color_ref[1, :, :] = g_acc.T
+    color_ref[2, :, :] = b_acc.T
+
+
+def blend_subtiles(
+    binning: TileBinning,
+    *,
+    width: int, height: int, sub_w: int = 16, sub_h: int = 16,
+    chunk: int = 128, g_cutoff: float = 5.6,
+    alpha_threshold: float = 1.0 / 255.0, alpha_clamp: float = 0.99,
+    term_eps: float = 1e-4, interpret: bool = False,
+    skip_range_check: bool = False,
+):
+    """Run the subtile blend. `binning` must have been built with
+    tile_w=sub_w, tile_h=sub_h. Returns (color [H,W,3], trans [H,W])."""
+    assert chunk % 128 == 0, "pair chunk must be a multiple of 128 lanes"
+    win = sub_w * sub_h
+    assert win % 128 == 0, "subtile pixel count must be a multiple of 128"
+    # 8 subtiles per grid step: Mosaic requires output-block sublane dims
+    # divisible by 8, and 8 consecutive segments per step keep the DMA
+    # stream long enough to stay pipelined
+    bs = 8
+    ntx, nty = tile_extent(width, height, sub_w, sub_h)
+    T = ntx * nty
+    t_pad = (-T) % bs
+    tile_start = binning.tile_start
+    if t_pad:
+        # padded subtiles are empty: start = end = total payload length
+        tile_start = jnp.concatenate(
+            [tile_start,
+             jnp.broadcast_to(tile_start[-1:], (t_pad,))])
+    G = (T + t_pad) // bs
+
+    kernel = functools.partial(
+        _blend_subtile_kernel,
+        ntx=ntx, sub_w=sub_w, sub_h=sub_h, bs=bs, chunk=chunk,
+        g_cutoff=g_cutoff, alpha_threshold=alpha_threshold,
+        alpha_clamp=alpha_clamp, term_eps=term_eps,
+        skip_range_check=skip_range_check,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, bs, win), index_map=lambda g, ts: (0, g, 0)),
+            pl.BlockSpec((bs, win), index_map=lambda g, ts: (g, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PAYLOAD_WIDTH, chunk + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    color, trans = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, G * bs, win), jnp.float32),
+            jax.ShapeDtypeStruct((G * bs, win), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_start, binning.payload)
+
+    # subtile-major (T, WIN) -> framebuffer (H, W)
+    def unshuffle(a):
+        lead = a.shape[:-2]
+        a = a[..., :T, :].reshape(lead + (nty, ntx, sub_h, sub_w))
+        a = jnp.moveaxis(a, -2, -3)              # (..., nty, sub_h, ntx, sub_w)
+        return a.reshape(lead + (nty * sub_h, ntx * sub_w))[
+            ..., :height, :width]
+
+    color = jnp.transpose(unshuffle(color), (1, 2, 0))
+    return color, unshuffle(trans)

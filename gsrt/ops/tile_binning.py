@@ -96,10 +96,50 @@ def compute_tile_spans(mean2d, rx, ry, alive, width, height, tile_w, tile_h):
     return x0, x1, y0, y1, touched
 
 
+def tile_histogram(x0, x1, y0, y1, alive, ntx: int, nty: int,
+                   splat_chunk: int = 1 << 17) -> jnp.ndarray:
+    """Per-tile pair counts [nty, ntx] from inclusive tile spans — an MXU
+    rectangle histogram.
+
+    For each tile row ty, the count over tx is the 1D difference of one-hot
+    marks at x0 and x1+1, accumulated over splats whose y-span covers ty.
+    That contraction over splats is a matmul: [nty, N] y-cover mask times
+    [N, ntx+1] x-difference marks. Inputs are exact in bf16 (0/±1) and the
+    MXU accumulates in f32, so counts are exact. Replaces a
+    searchsorted-with-sort over the max_pairs array (~25 ms at 3M pairs on
+    v5e) with ~2 GFLOP of matmul per 1M splats.
+    """
+    N = x0.shape[0]
+    pad = (-N) % splat_chunk
+    if pad:
+        widths = [(0, pad)]
+        x0, x1, y0, y1 = (jnp.pad(a, widths) for a in (x0, x1, y0, y1))
+        alive = jnp.pad(alive, widths)
+    n_chunks = x0.shape[0] // splat_chunk
+    tys = jnp.arange(nty, dtype=jnp.int32)[:, None]        # [nty, 1]
+    txs = jnp.arange(ntx + 1, dtype=jnp.int32)[None, :]    # [1, ntx+1]
+
+    def body(c, acc):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * splat_chunk,
+                                                    splat_chunk)
+        x0c, x1c, y0c, y1c = sl(x0), sl(x1), sl(y0), sl(y1)
+        av = sl(alive)
+        ym = ((tys >= y0c[None, :]) & (tys <= y1c[None, :])
+              & av[None, :]).astype(jnp.bfloat16)          # [nty, C]
+        xd = ((txs == x0c[:, None]).astype(jnp.bfloat16)
+              - (txs == (x1c + 1)[:, None]).astype(jnp.bfloat16))  # [C, ntx+1]
+        return acc + jnp.dot(ym, xd, preferred_element_type=jnp.float32)
+
+    diff = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((nty, ntx + 1), jnp.float32))
+    return jnp.cumsum(diff, axis=1)[:, :ntx].astype(jnp.int32)
+
+
 def build_tile_binning(
     depth, mean2d, quad, opacity, color, rx, ry, alive,
     *, width: int, height: int, tile_w: int = 128, tile_h: int = 8,
     chunk: int = 128, max_pairs: int = 1 << 20,
+    expand_impl: str = "xla", interpret: bool = False,
 ) -> TileBinning:
     """Bin splats into per-tile, depth-sorted pair lists.
 
@@ -109,60 +149,91 @@ def build_tile_binning(
     N = depth.shape[0]
     ntx, nty = tile_extent(width, height, tile_w, tile_h)
     T = ntx * nty
+    assert ntx < (1 << 12) and nty < (1 << 12) and T < (1 << 20), \
+        "tile grid exceeds the packed-operand bit budget"
 
-    # --- sort splats by depth once; all later orderings derive from it ---
-    order = jnp.argsort(jnp.where(alive, depth, jnp.inf))
-    mean2d = mean2d[order]
-    quad = quad[order]
-    opacity = jnp.where(alive[order], opacity[order], 0.0)
-    color = color[order]
-    rx = rx[order]
-    ry = ry[order]
-    alive = alive[order]
-
+    # --- footprint spans on the raw (unsorted) splats ---
     x0, x1, y0, y1, touched = compute_tile_spans(
         mean2d, rx, ry, alive, width, height, tile_w, tile_h)
+    opacity = jnp.where(alive, opacity, 0.0)
 
-    offsets = jnp.cumsum(touched)                    # inclusive
-    total = offsets[-1]
+    # --- per-tile pair counts → tile offsets, order-independent (MXU
+    # rectangle histogram; replaces a searchsorted over the sorted pairs) ---
+    counts = tile_histogram(x0, x1, y0, y1, touched > 0, ntx, nty).reshape(T)
+    total = jnp.sum(touched)
     overflow = total > max_pairs
+    tile_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+    # overflow truncates the deepest pairs mid-array; clamping keeps every
+    # segment inside the payload (image is wrong until the caller
+    # re-calibrates on the overflow flag, but memory stays safe)
+    tile_start = jnp.minimum(tile_start, jnp.minimum(total, max_pairs))
 
-    # one per-splat table: 4 int32 geometry cols (bitcast) + 7 feature cols
-    tab = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(
-            jnp.stack([x0, y0, x1 - x0 + 1, offsets - touched], -1),
-            jnp.float32),
-         jnp.stack([mean2d[:, 0], mean2d[:, 1],
-                    quad[:, 0], quad[:, 1], quad[:, 2],
-                    pack15(color[:, 0], color[:, 1]),
-                    pack15(color[:, 2], opacity)], -1)],
-        axis=-1)                                     # [N, 11]
+    # --- ONE carry-sort by camera depth compacts pair-generating splats to
+    # a prefix and orders them front-to-back (the reference's visit order).
+    # Small int fields ride packed two-per-operand: 10 operands vs an
+    # argsort + 11 gathers (random row gathers cost ~27 ns/row on v5e) ---
+    key = jnp.where(touched > 0, depth, jnp.inf)
+    xy0 = x0 | (y0 << 12)
+    wspan_touch = ((x1 - x0 + 1) << 20) | touched
+    (_, xy0, wspan_touch, m2x, m2y, qa, qb, qc, rgp, bop) = jax.lax.sort(
+        (key, xy0, wspan_touch, mean2d[:, 0], mean2d[:, 1],
+         quad[:, 0], quad[:, 1], quad[:, 2],
+         pack15(color[:, 0], color[:, 1]),
+         pack15(color[:, 2], opacity)),
+        num_keys=1, is_stable=False)
+    x0s = xy0 & 0xFFF
+    y0s = xy0 >> 12
+    w_span = jnp.maximum(wspan_touch >> 20, 1)
+    touched_s = wspan_touch & 0xFFFFF
+    offsets = jnp.cumsum(touched_s)                  # inclusive
+    from gsrt.ops.pair_expand import _DEAD_BASE
+    base = jnp.where(touched_s > 0, offsets - touched_s, _DEAD_BASE)
 
-    # --- expand splats → pairs: ONE 2D repeat (measured ~2.5x cheaper than
-    # materializing splat ids and row-gathering the table) ---
-    rows = jnp.repeat(tab, touched, axis=0,
-                      total_repeat_length=max_pairs)  # [MP, 11]
+    # --- expand splats → pairs ---
+    if expand_impl == "pallas":
+        # streaming barrel-shift expansion at HBM bandwidth
+        from gsrt.ops.pair_expand import TAB_ROWS, expand_pairs
+        feats_n = [m2x, m2y, qa, qb, qc, rgp, bop]
+        geom_n = [x0s, y0s, w_span, base]
+        tabf = jnp.stack(
+            [jax.lax.bitcast_convert_type(a, jnp.float32) for a in geom_n]
+            + feats_n
+            + [jnp.zeros_like(m2x)] * (TAB_ROWS - 11), axis=0)   # [16, N]
+        rowsf = expand_pairs(tabf, base, max_pairs,
+                             interpret=interpret)               # [16, MP]
+        geom = jax.lax.bitcast_convert_type(rowsf[:4], jnp.int32)
+        gx0, gy0, gw, gbase = geom[0], geom[1], geom[2], geom[3]
+        pair_feats = [rowsf[4 + i] for i in range(N_FEATURES)]
+    else:
+        # ONE 2D repeat (measured ~2.5x cheaper in XLA than materializing
+        # splat ids and row-gathering the table)
+        tab = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(
+                jnp.stack([x0s, y0s, w_span, base], -1), jnp.float32),
+             jnp.stack([m2x, m2y, qa, qb, qc, rgp, bop], -1)],
+            axis=-1)                                 # [N, 11]
+        rows = jnp.repeat(tab, touched_s, axis=0,
+                          total_repeat_length=max_pairs)  # [MP, 11]
+        geom = jax.lax.bitcast_convert_type(rows[:, :4], jnp.int32)
+        gx0, gy0, gw, gbase = geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3]
+        pair_feats = [rows[:, 4 + i] for i in range(N_FEATURES)]
+
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = slots < jnp.minimum(total, max_pairs)
-    geom = jax.lax.bitcast_convert_type(rows[:, :4], jnp.int32)
-    rank = slots - geom[:, 3]
-    w_span = jnp.maximum(geom[:, 2], 1)
-    tx = geom[:, 0] + rank % w_span
-    ty = geom[:, 1] + rank // w_span
+    rank = slots - gbase
+    tx = gx0 + rank % gw
+    ty = gy0 + rank // gw
     tile = jnp.where(valid, ty * ntx + tx, T).astype(jnp.int32)  # sentinel T
 
     # --- stable sort by tile, CARRYING the 7 feature rows (splats are
     # depth-ordered, so within-tile order stays front-to-back; carrying
     # beats a post-sort random gather) ---
     sorted_ops = jax.lax.sort(
-        (tile,) + tuple(rows[:, 4 + i] for i in range(N_FEATURES)),
+        (tile,) + tuple(pair_feats),
         num_keys=1, is_stable=True)
     tile_s = sorted_ops[0]
     feats = sorted_ops[1:]
-
-    tile_start = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32),
-                                  method="sort").astype(jnp.int32)
-    counts = (tile_start[1:] - tile_start[:-1]).astype(jnp.int32)   # [T]
 
     # --- feature-major payload (sentinel tail already has opacity 0 via the
     # `valid` gating below; padded tail covers the kernel's aligned

@@ -1,0 +1,93 @@
+"""Measure per-stage wall time of the tiled pipeline on the bench scene,
+plus pair-duplication factors for candidate tile shapes.
+
+Run on the real TPU chip: `python tools/stage_timing.py`
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from gsrt.core.config import RenderConfig
+from gsrt.models.gaussian_rt import (GaussianRayTracer, _precompute,
+                                     render_tiled)
+from gsrt.ops.gaussian import screen_extents
+from gsrt.ops.tile_binning import build_tile_binning, compute_tile_spans
+from gsrt.scene.catalog import random_cloud
+
+
+def timeit(fn, *args, n=10):
+    r = fn(*args)
+    jax.block_until_ready(r)
+    float(jnp.sum(jax.tree_util.tree_leaves(r)[0].ravel()[:1]))
+    best = 1e9
+    for _ in range(n):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        float(jnp.sum(jax.tree_util.tree_leaves(r)[0].ravel()[:1]))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+W, H, N = 1920, 1080, 1_000_000
+cfg = RenderConfig(width=W, height=H, conic_mode="standard")
+cloud, camera = random_cloud(N, seed=0, width=W, height=H,
+                             scale_range=(0.004, 0.03))
+
+# ---- duplication factors for tile shapes ----
+depth, mean2d, quad, in_front, colors = jax.jit(
+    functools.partial(_precompute, cfg=cfg))(cloud, camera)
+rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff,
+                        opacity=cloud.opacity,
+                        alpha_threshold=cfg.alpha_threshold)
+alive = in_front & (cloud.opacity > cfg.alpha_threshold)
+print(f"median rx={float(jnp.median(jnp.where(alive, rx, jnp.nan))):.1f} "
+      f"ry={float(jnp.median(jnp.where(alive, ry, jnp.nan))):.1f} px")
+base = None
+for tw, th in [(128, 8), (64, 8), (32, 8), (16, 8), (16, 16), (128, 16)]:
+    *_, touched = compute_tile_spans(mean2d, rx, ry, alive, W, H, tw, th)
+    tot = int(jnp.sum(touched))
+    if base is None:
+        base = tot
+    ntx, nty = -(-W // tw), -(-H // th)
+    print(f"tile {tw}x{th}: pairs={tot/1e6:.2f}M dup_vs_128x8={tot/base:.2f} "
+          f"T={ntx*nty}")
+
+# ---- stage timings (128x8 tiles, current production path) ----
+mp = GaussianRayTracer(cfg, "tiled").calibrate(cloud, camera)
+print(f"max_pairs = {mp} ({mp/1e6:.2f}M)")
+
+
+@jax.jit
+def stage_project(cloud, camera):
+    return _precompute(cloud, camera, cfg)
+
+
+@jax.jit
+def stage_binning(cloud, camera):
+    depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
+    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff,
+                            opacity=cloud.opacity,
+                            alpha_threshold=cfg.alpha_threshold)
+    alive = in_front & (cloud.opacity > cfg.alpha_threshold)
+    return build_tile_binning(
+        depth, mean2d, quad, cloud.opacity, colors, rx, ry, alive,
+        width=W, height=H, tile_w=128, tile_h=8,
+        chunk=cfg.pair_chunk, max_pairs=mp)
+
+
+full = jax.jit(functools.partial(render_tiled, cfg=cfg, max_pairs=mp))
+
+t_proj = timeit(stage_project, cloud, camera)
+t_bin = timeit(stage_binning, cloud, camera)
+t_full = timeit(full, cloud, camera)
+print(f"projection+SH: {t_proj*1e3:.1f} ms")
+print(f"proj+binning:  {t_bin*1e3:.1f} ms  (binning ≈ {(t_bin-t_proj)*1e3:.1f})")
+print(f"full frame:    {t_full*1e3:.1f} ms  (blend ≈ {(t_full-t_bin)*1e3:.1f})")
+print(f"Mrays/s = {W*H/t_full/1e6:.2f}")
