@@ -60,6 +60,9 @@ class RenderConfig:
     pair_chunk: int = 384       # pairs per kernel chunk (multiple of 128;
                                 # 384 best on v5e: less over-fetch than 256,
                                 # more VMEM headroom than 512)
+    expand_impl: Literal["pallas", "xla"] = "pallas"
+                                # pair expansion: Pallas barrel-shift kernel
+                                # (fast) or XLA jnp.repeat (fallback)
     splat_chunk: int = 256      # splats per chunk in the brute-force paths
 
     # --- BVH ---

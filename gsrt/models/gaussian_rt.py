@@ -344,7 +344,7 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         width=camera.width, height=camera.height,
         tile_w=tw, tile_h=th,
         chunk=cfg.pair_chunk, max_pairs=max_pairs,
-        expand_impl="pallas", interpret=interpret)
+        expand_impl=cfg.expand_impl, interpret=interpret)
     # Materialize binning outputs before the Pallas call: fusing XLA ops
     # into the kernel's operands produced wrong layouts/garbage reads on
     # the TPU backend (kernel verified correct on materialized inputs).

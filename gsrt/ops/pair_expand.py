@@ -5,19 +5,27 @@ tile binning (measured ~65 ms at 3M pairs on v5e — XLA lowers the ragged
 repeat to cumsum + searchsorted + random row gathers at ~27 ns/row). Here
 the same monotone gather is a streaming kernel at HBM bandwidth.
 
-Algorithm (per output chunk of C pairs):
-  * the source splats covering pairs [gC, gC+C) are a CONTIGUOUS window of
-    at most C+1 rows of the depth-sorted table (every pair-generating splat
-    is compacted to a prefix and emits >= 1 pair) — one aligned DMA;
-  * each output lane's source index is s(p) = #{splats with base <= p} - 1,
-    computed as a (window x window) int compare + sublane reduction
-    (the base column is DMA'd splat-major from a side table so the compare
-    needs no in-kernel transpose);
-  * the expansion out[p] = tab[s(p)] is a BARREL SHIFTER: for bit b from
-    high to low, lanes whose shift distance D = p - s(p) has bit b set take
-    the value rolled right by 2^b. For run expansions D and s are both
-    monotone with steps in {0, 1}, which makes the log2(C)-step shifter
-    exact (each step preserves the invariant y[p] = tab[p - (D>>b<<b)]).
+Split of work:
+  * XLA computes the per-pair SOURCE INDEX s(p) (the splat covering pair p)
+    with one sort-based merge (`searchsorted(base, arange(MP), 'sort')` —
+    ~2 ms at 3M rows, nothing like the 65 ms row-gather repeat);
+  * the kernel gathers out[:, p] = tab[:, s(p)] with a BARREL SHIFTER over
+    the window: the shift distance d(q) = q - s_window(q) is monotone
+    non-decreasing with steps in {0, 1} (s is a run index: it advances by
+    0 or 1 per pair), and for such distances the log-step shifter is exact.
+    Induction: before processing bit b, every lane q holds
+    tab[q - (d(q) & ~(2b-1))]; if bit b of d(q) is set, lane q takes from
+    lane q-b, whose own residual d(q-b) ∈ [d(q)-b, d(q)] shares the high
+    bits of d(q) above b (unit steps make larger drops impossible), so the
+    taken value is tab[(q-b) - (d(q) & ~(2b-1))] — the invariant at bit b.
+
+Per output chunk of C pairs the kernel DMAs one aligned [TAB_ROWS, C+128]
+window of the depth-sorted splat table (pair-generating splats are
+compacted to a prefix and each emits >= 1 pair, so the window covers every
+source) and one [8, C+128] window of the s(p) row. All shifter traffic
+runs on an int32 bit view: several table rows are small ints bitcast into
+f32 (denormals), and TPU float select paths flush denormals to zero —
+integer ops never do.
 
 The kernel expands all 11 table rows (4 geometry + 7 features); tile-id
 math stays in XLA on the expanded geometry rows.
@@ -42,12 +50,13 @@ def _expand_kernel(
                            # already rounded down to a 128 multiple
     # inputs
     tabf_hbm,              # [TAB_ROWS, N_pad] f32 feature-major table
-    base2d_hbm,            # [N_pad, 8] int32, col 0 = base (pair offset)
+    srow_hbm,              # [8, MP + 128] int32, row 0 = s(p) with a
+                           # 128-lane zero prefix (frame alignment)
     # outputs
     out_ref,               # [TAB_ROWS, C] VMEM
     # scratch
-    tbuf,                  # [2, TAB_ROWS, W] VMEM
-    bbuf,                  # [2, W, 8] VMEM (int32)
+    tbuf,                  # [2, TAB_ROWS, W] VMEM f32
+    sbuf,                  # [2, 8, W] VMEM int32
     sem,                   # DMA semaphores (2, 2)
     *,
     chunk: int, window: int,
@@ -61,46 +70,47 @@ def _expand_kernel(
         return pltpu.make_async_copy(
             tabf_hbm.at[:, pl.ds(col, W)], tbuf.at[slot], sem.at[slot, 0])
 
-    def dma_b(slot, gi):
-        row = pl.multiple_of(src_start_ref[gi], 128)
+    def dma_s(slot, gi):
+        # frame lane 0 of chunk gi is pair gi*C - 128 = srow column gi*C
         return pltpu.make_async_copy(
-            base2d_hbm.at[pl.ds(row, W), :], bbuf.at[slot], sem.at[slot, 1])
+            srow_hbm.at[:, pl.ds(gi * C, W)], sbuf.at[slot],
+            sem.at[slot, 1])
 
     @pl.when(g == 0)
     def _():
         dma_t(0, 0).start()
-        dma_b(0, 0).start()
+        dma_s(0, 0).start()
 
     slot = jax.lax.rem(g, 2)
 
     @pl.when(g + 1 < ng)
     def _():
         dma_t(1 - slot, g + 1).start()
-        dma_b(1 - slot, g + 1).start()
+        dma_s(1 - slot, g + 1).start()
 
     dma_t(slot, g).wait()
-    dma_b(slot, g).wait()
+    dma_s(slot, g).wait()
 
-    w0 = src_start_ref[g]
-    base = bbuf[slot][:, 0:1]                       # (W, 1) int32
-    # virtual pair id of buffer lane l: pv = g*C + l - 128 (the first 128
-    # lanes are a dead prefix so the shifter never needs negative shifts)
+    y = pltpu.bitcast(tbuf[slot], jnp.int32)         # (TAB_ROWS, W)
+
+    # window-local source lane and shift distance per frame lane q
+    # (lane 128 = pair g*C; lanes [0, 128) are the alignment prefix, whose
+    # clamped d keeps the global monotone-unit-step property the shifter
+    # correctness proof needs)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    pv = g * C + lane - 128
-    # source row (window-local) covering pv: #{base <= pv} - 1
-    cnt = jnp.sum((base <= pv).astype(jnp.int32), axis=0, keepdims=True)
-    d = lane - (cnt - 1)                            # shift distance, (1, W)
+    s_w = sbuf[slot][0:1, :] - src_start_ref[g]
+    s_w = jnp.minimum(jnp.maximum(s_w, 0), lane)
+    d = lane - s_w                                   # (1, W), in [0, q]
 
-    y = tbuf[slot]                                  # (TAB_ROWS, W)
     b = 1
-    while b < W:
+    while b * 2 < W:
         b *= 2
-    b //= 2
     while b >= 1:
-        take = (d & b) != 0                         # (1, W)
+        take = (d & b) != 0
         y = jnp.where(take, pltpu.roll(y, shift=b, axis=1), y)
         b //= 2
-    out_ref[...] = y[:, 128:128 + C]
+
+    out_ref[...] = pltpu.bitcast(y[:, 128:128 + C], jnp.float32)
 
 
 def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
@@ -111,10 +121,11 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
       first-pair offset ("base", int32 bitcast), with _DEAD_BASE for splats
       that generate no pairs; pair-generating splats must form a prefix and
       bases must be strictly increasing (each generates >= 1 pair).
-    base: [N] int32 — the same base column, used for the in-kernel source
-      search.
+    base: [N] int32 — the same base column (used for the source-index merge
+      and to locate chunk windows).
 
-    Returns [TAB_ROWS, max_pairs] f32 where column p = tabf[:, s(p)].
+    Returns [TAB_ROWS, max_pairs] f32 where column p = tabf[:, s(p)] with
+    s(p) the splat covering pair p.
     """
     assert max_pairs % chunk == 0 and chunk % 128 == 0
     N = tabf.shape[1]
@@ -124,18 +135,26 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     # pad the table so any aligned window read stays in bounds
     n_pad = W + ((-N) % 128)
     tabf = jnp.pad(tabf, ((0, 0), (0, n_pad)))
-    dead = jnp.full((n_pad,), _DEAD_BASE, jnp.int32)
-    base_p = jnp.concatenate([base, dead])
-    base2d = jnp.broadcast_to(base_p[:, None], (N + n_pad, 8))
 
-    # first table row covering pair g*C (right-side rank on the inclusive
-    # region): #{base <= gC} - 1, clamped; then 128-aligned down for DMA
-    queries = jnp.arange(G, dtype=jnp.int32) * chunk
-    idx = jnp.searchsorted(base, queries, side="right",
-                           method="sort").astype(jnp.int32)
-    src_start = jnp.maximum(idx - 1, 0)
+    # per-pair source index: one sorted merge (method='sort'; the default
+    # binary search lowers to log2(N) serialized 1D gathers on TPU)
+    queries = jnp.arange(max_pairs, dtype=jnp.int32)
+    s_pair = jnp.searchsorted(base, queries, side="right",
+                              method="sort").astype(jnp.int32)
+    s_pair = jnp.clip(s_pair - 1, 0, N - 1)
+    srow = jnp.pad(s_pair[None, :], ((0, 7), (128, 0)))  # [8, MP + 128]
+
+    # first table row covering pair g*C, 128-aligned down for the window
+    src_start = jax.lax.slice(s_pair, (0,), (max_pairs,), (chunk,))
     src_start = (src_start // 128) * 128
-    src_start = jnp.minimum(src_start, jnp.int32(N + n_pad - W))
+
+    # Materialize operands before the Pallas call: on the axon TPU backend,
+    # fusing XLA producers into kernel operands yields wrong layouts /
+    # garbage reads (same failure mode documented in render_tiled for the
+    # blend kernel; verified again here — the kernel is exact on
+    # materialized inputs and wrong on fused ones).
+    tabf, srow, src_start = jax.lax.optimization_barrier(
+        (tabf, srow, src_start))
 
     kernel = functools.partial(_expand_kernel, chunk=chunk, window=W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -149,7 +168,7 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
                                index_map=lambda g, ss: (0, g)),
         scratch_shapes=[
             pltpu.VMEM((2, TAB_ROWS, W), jnp.float32),
-            pltpu.VMEM((2, W, 8), jnp.int32),
+            pltpu.VMEM((2, 8, W), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -158,4 +177,4 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((TAB_ROWS, max_pairs), jnp.float32),
         interpret=interpret,
-    )(src_start, tabf, base2d)
+    )(src_start, tabf, srow)

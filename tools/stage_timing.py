@@ -36,32 +36,40 @@ def timeit(fn, *args, n=10):
 
 
 W, H, N = 1920, 1080, 1_000_000
-cfg = RenderConfig(width=W, height=H, conic_mode="standard")
+TW, TH = (int(x) for x in (sys.argv[1].split("x") if len(sys.argv) > 1
+                           else ("128", "8")))
+PC = int(sys.argv[2]) if len(sys.argv) > 2 else (384 if TW == 128 else 128)
+EXPAND = sys.argv[3] if len(sys.argv) > 3 else "pallas"
+cfg = RenderConfig(width=W, height=H, conic_mode="standard",
+                   tile_w=TW, tile_h=TH, pair_chunk=PC)
 cloud, camera = random_cloud(N, seed=0, width=W, height=H,
                              scale_range=(0.004, 0.03))
+SKIP_DUP = len(sys.argv) > 1
 
-# ---- duplication factors for tile shapes ----
-depth, mean2d, quad, in_front, colors = jax.jit(
-    functools.partial(_precompute, cfg=cfg))(cloud, camera)
-rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff,
-                        opacity=cloud.opacity,
-                        alpha_threshold=cfg.alpha_threshold)
-alive = in_front & (cloud.opacity > cfg.alpha_threshold)
-print(f"median rx={float(jnp.median(jnp.where(alive, rx, jnp.nan))):.1f} "
-      f"ry={float(jnp.median(jnp.where(alive, ry, jnp.nan))):.1f} px")
-base = None
-for tw, th in [(128, 8), (64, 8), (32, 8), (16, 8), (16, 16), (128, 16)]:
-    *_, touched = compute_tile_spans(mean2d, rx, ry, alive, W, H, tw, th)
-    tot = int(jnp.sum(touched))
-    if base is None:
-        base = tot
-    ntx, nty = -(-W // tw), -(-H // th)
-    print(f"tile {tw}x{th}: pairs={tot/1e6:.2f}M dup_vs_128x8={tot/base:.2f} "
-          f"T={ntx*nty}")
+if not SKIP_DUP:
+    # ---- duplication factors for tile shapes ----
+    depth, mean2d, quad, in_front, colors = jax.jit(
+        functools.partial(_precompute, cfg=cfg))(cloud, camera)
+    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff,
+                            opacity=cloud.opacity,
+                            alpha_threshold=cfg.alpha_threshold)
+    alive = in_front & (cloud.opacity > cfg.alpha_threshold)
+    print(f"median rx={float(jnp.median(jnp.where(alive, rx, jnp.nan))):.1f} "
+          f"ry={float(jnp.median(jnp.where(alive, ry, jnp.nan))):.1f} px")
+    base = None
+    for tw, th in [(128, 8), (64, 8), (32, 8), (16, 8), (16, 16), (128, 16)]:
+        *_, touched = compute_tile_spans(mean2d, rx, ry, alive, W, H, tw, th)
+        tot = int(jnp.sum(touched))
+        if base is None:
+            base = tot
+        ntx, nty = -(-W // tw), -(-H // th)
+        print(f"tile {tw}x{th}: pairs={tot/1e6:.2f}M "
+              f"dup_vs_128x8={tot/base:.2f} T={ntx*nty}")
 
-# ---- stage timings (128x8 tiles, current production path) ----
+# ---- stage timings ----
 mp = GaussianRayTracer(cfg, "tiled").calibrate(cloud, camera)
-print(f"max_pairs = {mp} ({mp/1e6:.2f}M)")
+print(f"tile {TW}x{TH} chunk {PC} expand={EXPAND} "
+      f"max_pairs = {mp} ({mp/1e6:.2f}M)")
 
 
 @jax.jit
@@ -78,8 +86,8 @@ def stage_binning(cloud, camera):
     alive = in_front & (cloud.opacity > cfg.alpha_threshold)
     return build_tile_binning(
         depth, mean2d, quad, cloud.opacity, colors, rx, ry, alive,
-        width=W, height=H, tile_w=128, tile_h=8,
-        chunk=cfg.pair_chunk, max_pairs=mp)
+        width=W, height=H, tile_w=TW, tile_h=TH,
+        chunk=cfg.pair_chunk, max_pairs=mp, expand_impl=EXPAND)
 
 
 full = jax.jit(functools.partial(render_tiled, cfg=cfg, max_pairs=mp))
