@@ -60,6 +60,15 @@ class PrimitiveScene(NamedTuple):
     materials: Materials
     textures: Optional[jnp.ndarray] = None        # [NT, TH, TW, 3]
     alpha_textures: Optional[jnp.ndarray] = None  # [NT, TH, TW]
+    # per-corner texcoords (tinyobjloader attrib.texcoords analogue,
+    # reference Model.cpp LoadModel; sampled in Scatter.glsl:18)
+    tri_uv0: Optional[jnp.ndarray] = None         # [T, 2]
+    tri_uv1: Optional[jnp.ndarray] = None
+    tri_uv2: Optional[jnp.ndarray] = None
+    # Morton-cluster acceleration structure over the triangles
+    # (gsrt.ops.clusters — the reference's BLAS role); built on demand with
+    # `with_tri_clusters`, used by _closest_hit when present
+    tri_clusters: Optional["TriClusters"] = None
 
     @property
     def counts(self):
@@ -98,14 +107,41 @@ def sphere_uv(normal):
     return jnp.stack([u, v], -1)
 
 
+def with_tri_clusters(scene: PrimitiveScene, k: int = 64,
+                      sup: int = 8) -> PrimitiveScene:
+    """Attach the Morton-cluster acceleration structure over the scene's
+    triangles (gsrt.ops.clusters). Do this ONCE per scene, outside jit —
+    the reference's BLAS build step (lvp_acceleration_structure.c:1301)."""
+    from gsrt.ops.clusters import build_tri_clusters
+    if scene.tri_v0.shape[0] < 2 * k:
+        return scene          # brute force beats traversal for tiny meshes
+    tc = build_tri_clusters(scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                            scene.tri_mat, scene.tri_uv0, scene.tri_uv1,
+                            scene.tri_uv2, k=k, sup=sup)
+    return scene._replace(tri_clusters=tc)
+
+
+def _tri_uv(scene, i, u, v):
+    """Interpolate per-corner texcoords at barycentric (u, v); sphere-UV
+    stand-in when the mesh carries none."""
+    if scene.tri_uv0 is None:
+        return None
+    w = 1.0 - u - v
+    return (w[:, None] * scene.tri_uv0[i] + u[:, None] * scene.tri_uv1[i]
+            + v[:, None] * scene.tri_uv2[i])
+
+
 def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
     """Nearest hit across all primitive types.
 
-    Returns (t [R], normal [R,3], mat_id [R], hit [R])."""
+    Returns (t [R], normal [R,3], mat_id [R], hit [R], uv [R,2] or None).
+    uv is the texture coordinate at the hit (triangle texcoords when the
+    mesh has them, equirectangular sphere UV otherwise)."""
     R = orig.shape[0]
     best_t = jnp.full((R,), jnp.inf)
     best_n = jnp.zeros((R, 3))
     best_m = jnp.zeros((R,), jnp.int32)
+    best_uv = jnp.zeros((R, 2)) if scene.tri_uv0 is not None else None
 
     if scene.sph_center.shape[0]:
         t = ray_sphere(orig, dirn, scene.sph_center, scene.sph_radius,
@@ -118,6 +154,8 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
         best_t = jnp.where(upd, ti, best_t)
         best_n = jnp.where(upd[:, None], n, best_n)
         best_m = jnp.where(upd, scene.sph_mat[i], best_m)
+        if best_uv is not None:
+            best_uv = jnp.where(upd[:, None], sphere_uv(n), best_uv)
 
     if scene.box_min.shape[0]:
         t = ray_box(orig, dirn, scene.box_min, scene.box_max, t_min, t_max)
@@ -129,8 +167,39 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
         best_t = jnp.where(upd, ti, best_t)
         best_n = jnp.where(upd[:, None], n, best_n)
         best_m = jnp.where(upd, scene.box_mat[i], best_m)
+        if best_uv is not None:
+            best_uv = jnp.where(upd[:, None], sphere_uv(n), best_uv)
 
-    if scene.tri_v0.shape[0]:
+    if scene.tri_clusters is not None:
+        from gsrt.ops.clusters import closest_hit_tri_clusters
+        tc = scene.tri_clusters
+        ti, bc, bk, _, _, _ = closest_hit_tri_clusters(
+            tc, orig, dirn, t_min, t_max)
+        v0 = tc.v0[bc, bk]
+        v1 = tc.v1[bc, bk]
+        v2 = tc.v2[bc, bk]
+        n = triangle_normal(v0, v1, v2)
+        n = jnp.where(jnp.sum(n * dirn, -1, keepdims=True) > 0, -n, n)
+        upd = ti < best_t
+        best_t = jnp.where(upd, ti, best_t)
+        best_n = jnp.where(upd[:, None], n, best_n)
+        best_m = jnp.where(upd, tc.mat[bc, bk], best_m)
+        if best_uv is not None:
+            # re-derive barycentrics of each ray's winning triangle —
+            # elementwise [R] Möller-Trumbore (one triangle per ray)
+            e1 = v1 - v0
+            e2 = v2 - v0
+            pvec = jnp.cross(dirn, e2)
+            det = jnp.sum(e1 * pvec, -1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvec = orig - v0
+            u = jnp.sum(tvec * pvec, -1) * inv_det
+            v = jnp.sum(dirn * jnp.cross(tvec, e1), -1) * inv_det
+            w = 1.0 - u - v
+            uvh = (w[:, None] * tc.uv0[bc, bk] + u[:, None] * tc.uv1[bc, bk]
+                   + v[:, None] * tc.uv2[bc, bk])
+            best_uv = jnp.where(upd[:, None], uvh, best_uv)
+    elif scene.tri_v0.shape[0]:
         t, u, v = ray_triangle(orig, dirn, scene.tri_v0, scene.tri_v1,
                                scene.tri_v2, t_min, t_max)
         i = jnp.argmin(t, axis=-1)
@@ -142,16 +211,24 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
         best_t = jnp.where(upd, ti, best_t)
         best_n = jnp.where(upd[:, None], n, best_n)
         best_m = jnp.where(upd, scene.tri_mat[i], best_m)
+        if best_uv is not None:
+            ui = jnp.take_along_axis(u, i[:, None], -1)[:, 0]
+            vi = jnp.take_along_axis(v, i[:, None], -1)[:, 0]
+            best_uv = jnp.where(upd[:, None], _tri_uv(scene, i, ui, vi),
+                                best_uv)
 
-    return best_t, best_n, best_m, jnp.isfinite(best_t)
+    return best_t, best_n, best_m, jnp.isfinite(best_t), best_uv
 
 
-def _sample_alpha(scene: PrimitiveScene, mat_id, normal):
+def _sample_alpha(scene: PrimitiveScene, mat_id, normal, uv=None):
     """Cutout alpha at the hit (1.0 = opaque) — sampled from the alpha
-    atlas via the material's texture id."""
+    atlas via the material's texture id. Uses the hit's triangle texcoords
+    when available (TraceTree.rahit samples the real foliage UVs), the
+    sphere UV of the normal otherwise."""
     if scene.alpha_textures is None or scene.materials.texture_id is None:
         return jnp.ones(mat_id.shape[0])
-    uv = sphere_uv(normal)
+    if uv is None:
+        uv = sphere_uv(normal)
     NT, TH, TW = scene.alpha_textures.shape
     tex_id = scene.materials.texture_id[mat_id]
     t = jnp.clip(tex_id, 0, NT - 1)
@@ -169,33 +246,36 @@ def _closest_hit_cutout(scene: PrimitiveScene, orig, dirn, t_min, t_max,
     if scene.alpha_textures is None:
         return _closest_hit(scene, orig, dirn, t_min, t_max)
     R = orig.shape[0]
+    has_uv = scene.tri_uv0 is not None
     tmin_cur = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))[:, None]
     state0 = (tmin_cur, jnp.full((R,), jnp.inf), jnp.zeros((R, 3)),
               jnp.zeros((R,), jnp.int32), jnp.zeros((R,), bool),
-              jnp.zeros((R,), bool))
+              jnp.zeros((R, 2)), jnp.zeros((R,), bool))
 
     def body(_, state):
-        tmin_cur, bt, bn, bm, bhit, done = state
-        t, n, m, hit = _closest_hit(scene, orig, dirn, tmin_cur, t_max)
-        alpha = _sample_alpha(scene, m, n)
+        tmin_cur, bt, bn, bm, bhit, buv, done = state
+        t, n, m, hit, uv = _closest_hit(scene, orig, dirn, tmin_cur, t_max)
+        alpha = _sample_alpha(scene, m, n, uv)
         cut = hit & (alpha < 0.5) & ~done
         settle = ~done & ~cut
         bt = jnp.where(settle, t, bt)
         bn = jnp.where(settle[:, None], n, bn)
         bm = jnp.where(settle, m, bm)
         bhit = jnp.where(settle, hit, bhit)
+        if has_uv:
+            buv = jnp.where(settle[:, None], uv, buv)
         done = done | settle
         tmin_cur = jnp.where(cut[:, None], t[:, None] + 1e-3, tmin_cur)
-        return tmin_cur, bt, bn, bm, bhit, done
+        return tmin_cur, bt, bn, bm, bhit, buv, done
 
-    _, bt, bn, bm, bhit, done = jax.lax.fori_loop(
+    _, bt, bn, bm, bhit, buv, done = jax.lax.fori_loop(
         0, max_skips + 1, body, state0)
-    return bt, bn, bm, bhit & done
+    return bt, bn, bm, bhit & done, (buv if has_uv else None)
 
 
 def _any_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
     """Occlusion query (shadow/AO rays)."""
-    t, _, _, hit = _closest_hit(scene, orig, dirn, t_min, t_max)
+    t, _, _, hit, _ = _closest_hit(scene, orig, dirn, t_min, t_max)
     return hit
 
 
@@ -336,8 +416,8 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
         def bounce(b, state):
             key, orig, dirn, ray_color, out_color, active = state
             key, ks = jax.random.split(key)
-            t, n, mat, hit = _closest_hit_cutout(scene, orig, dirn,
-                                                 cfg.t_min, cfg.t_max)
+            t, n, mat, hit, uv = _closest_hit_cutout(scene, orig, dirn,
+                                                     cfg.t_min, cfg.t_max)
             # miss → sky, terminate (rmiss)
             sky = _sky(dirn, cfg.has_sky)
             miss_now = active & ~hit
@@ -347,7 +427,8 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
             tex_color = None
             if scene.textures is not None and \
                     scene.materials.texture_id is not None:
-                uv = sphere_uv(n)
+                if uv is None:
+                    uv = sphere_uv(n)
                 tex_color = sample_texture(
                     scene.textures, scene.materials.texture_id[mat], uv)
 
@@ -419,7 +500,8 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
     H, W = camera.height, camera.width
     key = jax.random.PRNGKey(seed)
     orig, dirn = generate_camera_rays(key, camera, cfg)
-    t, n, mat, hit = _closest_hit(scene, orig, dirn, cfg.t_min, cfg.t_max)
+    t, n, mat, hit, _ = _closest_hit(scene, orig, dirn, cfg.t_min,
+                                     cfg.t_max)
     hit_p = orig + t[:, None] * dirn + 1e-3 * n
     vis = jnp.zeros((orig.shape[0],))
     for s in range(cfg.shadow_rays):
@@ -450,7 +532,8 @@ def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
     H, W = camera.height, camera.width
     key = jax.random.PRNGKey(seed)
     orig, dirn = generate_camera_rays(key, camera, cfg)
-    t, n, mat, hit = _closest_hit(scene, orig, dirn, cfg.t_min, cfg.t_max)
+    t, n, mat, hit, _ = _closest_hit(scene, orig, dirn, cfg.t_min,
+                                     cfg.t_max)
     hit_p = orig + t[:, None] * dirn + 1e-3 * n
     occ = jnp.zeros((orig.shape[0],))
     for s in range(cfg.ao_rays):
