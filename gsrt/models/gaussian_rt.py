@@ -66,6 +66,58 @@ def _precompute(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig):
     return depth, mean2d, quad, in_front, colors
 
 
+class FMCloud(NamedTuple):
+    """Feature-major (lane-major) device layout of a GaussianCloud.
+
+    TPU tiles pad an array's minor dimension to 128 lanes, so the AoS-ish
+    [N, 3] / [N, 6] / [N, K, 3] layouts of `GaussianCloud` waste ~98% of
+    every vector register and HBM beat (measured: 31 ms to project 1M
+    splats from [N,3] vs ~1 ms from [3,N] rows). The perf path transposes
+    ONCE per scene (outside the per-frame jit) and renders from rows."""
+
+    meansT: jnp.ndarray    # [3, N]
+    cov3dT: jnp.ndarray    # [6, N]
+    opacity: jnp.ndarray   # [N]
+    shT: jnp.ndarray       # [K, 3, N]
+
+    @property
+    def n(self) -> int:
+        return self.meansT.shape[1]
+
+    @property
+    def sh_degree(self) -> int:
+        return int(self.shT.shape[0] ** 0.5 + 0.5) - 1
+
+
+@jax.jit
+def fm_from_cloud(cloud: GaussianCloud) -> FMCloud:
+    """One-time relayout (pays the padded-layout read once per scene)."""
+    return FMCloud(meansT=cloud.means.T,
+                   cov3dT=cloud.cov3d.T,
+                   opacity=cloud.opacity,
+                   shT=jnp.transpose(cloud.sh, (1, 2, 0)))
+
+
+def _precompute_fm(fm: FMCloud, camera: Camera, cfg: RenderConfig):
+    """Feature-major `_precompute`: all outputs are [N] columns.
+
+    Returns (depth, m2x, m2y, qa, qb, qc, in_front, cr, cg, cb)."""
+    from gsrt.ops.gaussian import project_gaussians_fm
+    from gsrt.ops.sh import eval_sh_fm
+
+    depth, m2x, m2y, qa, qb, qc, det, in_front = project_gaussians_fm(
+        fm.meansT, fm.cov3dT, camera,
+        conic_mode=cfg.conic_mode, cov2d_dilation=cfg.cov2d_dilation)
+    dx = fm.meansT[0] - camera.position[0]
+    dy = fm.meansT[1] - camera.position[1]
+    dz = fm.meansT[2] - camera.position[2]
+    inv_n = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-9)
+    degree = min(cfg.sh_degree, fm.sh_degree)
+    cr, cg, cb = eval_sh_fm(fm.shT, dx * inv_n, dy * inv_n, dz * inv_n,
+                            degree)
+    return depth, m2x, m2y, qa, qb, qc, in_front, cr, cg, cb
+
+
 def _chunk_alphas(pix, mean2d_c, quad_c, depth_c, opacity_c, in_front_c,
                   cfg: RenderConfig, lut):
     """Evaluate splat alphas for a [P,2] pixel block × [C] splat chunk.
@@ -327,20 +379,23 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
 
     Exact-exp only (no LUT mode).
     """
+    from gsrt.ops.gaussian import screen_extents_abc
     from gsrt.ops.tile_binning import build_tile_binning
 
     if cloud.n == 0:
         return _empty_output(camera, cfg)
-    depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
-    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff,
-                            opacity=cloud.opacity,
-                            alpha_threshold=cfg.alpha_threshold)
-    alive = in_front & (cloud.opacity > cfg.alpha_threshold)
+    fm = cloud if isinstance(cloud, FMCloud) else fm_from_cloud(cloud)
+    depth, m2x, m2y, qa, qb, qc, in_front, cr, cg, cb = _precompute_fm(
+        fm, camera, cfg)
+    rx, ry = screen_extents_abc(qa, qb, qc, cfg.conic_mode, cfg.g_cutoff,
+                                opacity=fm.opacity,
+                                alpha_threshold=cfg.alpha_threshold)
+    alive = in_front & (fm.opacity > cfg.alpha_threshold)
 
     tw, th = cfg.tile_w, cfg.tile_h
 
     binning = build_tile_binning(
-        depth, mean2d, quad, cloud.opacity, colors, rx, ry, alive,
+        depth, m2x, m2y, qa, qb, qc, fm.opacity, cr, cg, cb, rx, ry, alive,
         width=camera.width, height=camera.height,
         tile_w=tw, tile_h=th,
         chunk=cfg.pair_chunk, max_pairs=max_pairs,
@@ -486,8 +541,8 @@ def count_pairs(cloud: GaussianCloud, camera: Camera,
                             alpha_threshold=cfg.alpha_threshold)
     alive = in_front & (cloud.opacity > cfg.alpha_threshold)
     *_, touched = compute_tile_spans(
-        mean2d, rx, ry, alive, camera.width, camera.height,
-        cfg.tile_w, cfg.tile_h)
+        mean2d[:, 0], mean2d[:, 1], rx, ry, alive,
+        camera.width, camera.height, cfg.tile_w, cfg.tile_h)
     return jnp.sum(touched)
 
 
@@ -573,6 +628,8 @@ class GaussianRayTracer:
         self.interpret = interpret  # run the Pallas kernel interpreted (CPU)
         self._count = jax.jit(functools.partial(count_pairs, cfg=cfg))
         self._tiled_cache: dict[int, callable] = {}
+        self._fm_src = None        # cloud object the cached FMCloud mirrors
+        self._fm: Optional[FMCloud] = None
         if mode != "tiled":
             fn = functools.partial(
                 {"fast": render_fast, "reference": render_reference}[mode],
@@ -609,10 +666,15 @@ class GaussianRayTracer:
             return self._render(cloud, camera)
         if self.max_pairs is None:
             self.calibrate(cloud, camera)
-        out = self._tiled_fn(self.max_pairs)(cloud, camera)
+        # relayout to feature-major ONCE per scene, outside the frame jit
+        # (the [N,3]/[N,K,3] padded layouts cost ~65 ms/frame at 1M splats)
+        if self._fm_src is not cloud:
+            self._fm = fm_from_cloud(cloud)
+            self._fm_src = cloud
+        out = self._tiled_fn(self.max_pairs)(self._fm, camera)
         # a frame past the calibration slack (camera zoom, scene growth)
         # silently truncates the farthest pairs — re-calibrate and re-render
         if out.overflow is not None and bool(out.overflow):
             self.calibrate(cloud, camera)
-            out = self._tiled_fn(self.max_pairs)(cloud, camera)
+            out = self._tiled_fn(self.max_pairs)(self._fm, camera)
         return out

@@ -157,6 +157,82 @@ def screen_radius(quad: jnp.ndarray, conic_mode: str,
     return jnp.sqrt(2.0 * g_cutoff / lam_min)
 
 
+def project_gaussians_fm(
+    meansT: jnp.ndarray,     # [3, N] feature-major
+    cov3dT: jnp.ndarray,     # [6, N] feature-major
+    camera: Camera,
+    conic_mode: str = "standard",
+    cov2d_dilation: float = 0.0,
+):
+    """Feature-major `project_gaussians`: same math on [*, N] rows.
+
+    TPU layouts pad the minor dimension to the 128-lane tile, so [N, 3]
+    inputs waste 125/128 of every vector register and HBM beat (measured:
+    31 ms to project 1M splats from [N,3]/[N,6] vs ~1 ms from rows).
+    Returns (depth, m2x, m2y, a, b, c, det, in_front), all [N].
+    """
+    R = camera.view[:3, :3]
+    t = camera.view[:3, 3]
+    mx, my, mz = meansT[0], meansT[1], meansT[2]
+    px = R[0, 0] * mx + R[0, 1] * my + R[0, 2] * mz + t[0]
+    py = R[1, 0] * mx + R[1, 1] * my + R[1, 2] * mz + t[1]
+    pz = R[2, 0] * mx + R[2, 1] * my + R[2, 2] * mz + t[2]
+    depth = pz
+    in_front = depth > 1e-4
+    z = jnp.where(in_front, depth, 1.0)
+    inv_z = 1.0 / z
+    m2x = camera.fx * px * inv_z + camera.cx
+    m2y = camera.fy * py * inv_z + camera.cy
+
+    j00 = camera.fx * inv_z
+    j02 = -camera.fx * px * inv_z * inv_z
+    j11 = camera.fy * inv_z
+    j12 = -camera.fy * py * inv_z * inv_z
+    t00 = j00 * R[0, 0] + j02 * R[2, 0]
+    t01 = j00 * R[0, 1] + j02 * R[2, 1]
+    t02 = j00 * R[0, 2] + j02 * R[2, 2]
+    t10 = j11 * R[1, 0] + j12 * R[2, 0]
+    t11 = j11 * R[1, 1] + j12 * R[2, 1]
+    t12 = j11 * R[1, 2] + j12 * R[2, 2]
+
+    c0, c1, c2, c3, c4, c5 = (cov3dT[i] for i in range(6))
+    u0 = c0 * t00 + c1 * t01 + c2 * t02
+    u1 = c1 * t00 + c3 * t01 + c4 * t02
+    u2 = c2 * t00 + c4 * t01 + c5 * t02
+    v0 = c0 * t10 + c1 * t11 + c2 * t12
+    v1 = c1 * t10 + c3 * t11 + c4 * t12
+    v2 = c2 * t10 + c4 * t11 + c5 * t12
+
+    a = t00 * u0 + t01 * u1 + t02 * u2 + cov2d_dilation
+    b = t10 * u0 + t11 * u1 + t12 * u2
+    c = t10 * v0 + t11 * v1 + t12 * v2 + cov2d_dilation
+    det = a * c - b * b
+
+    if conic_mode == "standard":
+        in_front = in_front & (det > 1e-12)
+        d = jnp.maximum(det, 1e-12)
+        qa, qb, qc = c / d, -b / d, a / d
+    else:
+        qa, qb, qc = a, b, c
+    return depth, m2x, m2y, qa, qb, qc, det, in_front
+
+
+def screen_extents_abc(a, b, c, conic_mode: str, g_cutoff: float,
+                       opacity: jnp.ndarray | None = None,
+                       alpha_threshold: float = 1.0 / 255.0,
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`screen_extents` on separate quadratic-form columns (a, b, c)."""
+    det = jnp.maximum(a * c - b * b, 1e-18)
+    g = jnp.asarray(g_cutoff, a.dtype)
+    if opacity is not None:
+        g_alpha = jnp.log(jnp.maximum(opacity / alpha_threshold, 1e-6))
+        g = jnp.minimum(g, jnp.maximum(g_alpha, 0.0))
+    # Q⁻¹ = (1/det)·[[c, -b], [-b, a]]
+    rx = jnp.sqrt(jnp.maximum(2.0 * g * c / det, 0.0))
+    ry = jnp.sqrt(jnp.maximum(2.0 * g * a / det, 0.0))
+    return rx, ry
+
+
 def screen_extents(quad: jnp.ndarray, conic_mode: str, g_cutoff: float,
                    opacity: jnp.ndarray | None = None,
                    alpha_threshold: float = 1.0 / 255.0,
@@ -170,16 +246,9 @@ def screen_extents(quad: jnp.ndarray, conic_mode: str, g_cutoff: float,
     alpha threshold (rint:107) — beyond it the splat contributes nothing,
     so the footprint (and the pair count) shrinks for translucent splats.
     """
-    a, b, c = quad[..., 0], quad[..., 1], quad[..., 2]
-    det = jnp.maximum(a * c - b * b, 1e-18)
-    g = jnp.asarray(g_cutoff, quad.dtype)
-    if opacity is not None:
-        g_alpha = jnp.log(jnp.maximum(opacity / alpha_threshold, 1e-6))
-        g = jnp.minimum(g, jnp.maximum(g_alpha, 0.0))
-    # Q⁻¹ = (1/det)·[[c, -b], [-b, a]]
-    rx = jnp.sqrt(jnp.maximum(2.0 * g * c / det, 0.0))
-    ry = jnp.sqrt(jnp.maximum(2.0 * g * a / det, 0.0))
-    return rx, ry
+    return screen_extents_abc(quad[..., 0], quad[..., 1], quad[..., 2],
+                              conic_mode, g_cutoff, opacity=opacity,
+                              alpha_threshold=alpha_threshold)
 
 
 def eval_gaussian_response(

@@ -80,17 +80,18 @@ def tile_extent(width: int, height: int, tile_w: int, tile_h: int):
     return ntx, nty
 
 
-def compute_tile_spans(mean2d, rx, ry, alive, width, height, tile_w, tile_h):
+def compute_tile_spans(cx, cy, rx, ry, alive, width, height, tile_w, tile_h):
     """Inclusive tile-coordinate spans of each splat's footprint ellipse
-    bounding box. Returns (x0, x1, y0, y1, touched); touched = 0 if culled.
+    bounding box; cx/cy are the projected-center coordinate columns [N].
+    Returns (x0, x1, y0, y1, touched); touched = 0 if culled.
     """
     ntx, nty = tile_extent(width, height, tile_w, tile_h)
-    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - rx) / tile_w), 0, ntx - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mean2d[:, 0] + rx) / tile_w), 0, ntx - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - ry) / tile_h), 0, nty - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((mean2d[:, 1] + ry) / tile_h), 0, nty - 1).astype(jnp.int32)
-    on_screen = ((mean2d[:, 0] + rx >= 0) & (mean2d[:, 0] - rx < width) &
-                 (mean2d[:, 1] + ry >= 0) & (mean2d[:, 1] - ry < height))
+    x0 = jnp.clip(jnp.floor((cx - rx) / tile_w), 0, ntx - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((cx + rx) / tile_w), 0, ntx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((cy - ry) / tile_h), 0, nty - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((cy + ry) / tile_h), 0, nty - 1).astype(jnp.int32)
+    on_screen = ((cx + rx >= 0) & (cx - rx < width) &
+                 (cy + ry >= 0) & (cy - ry < height))
     alive = alive & on_screen & (rx > 0) & (ry > 0)
     touched = jnp.where(alive, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
     return x0, x1, y0, y1, touched
@@ -136,15 +137,18 @@ def tile_histogram(x0, x1, y0, y1, alive, ntx: int, nty: int,
 
 
 def build_tile_binning(
-    depth, mean2d, quad, opacity, color, rx, ry, alive,
+    depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb, rx, ry, alive,
     *, width: int, height: int, tile_w: int = 128, tile_h: int = 8,
     chunk: int = 128, max_pairs: int = 1 << 20,
     expand_impl: str = "xla", interpret: bool = False,
 ) -> TileBinning:
     """Bin splats into per-tile, depth-sorted pair lists.
 
-    Inputs need NOT be depth-sorted; splats are sorted here (by camera depth,
-    the reference's visit order — ProceduralGauss.rint:67-68).
+    All per-splat inputs are [N] feature columns (lane-major — [N, 3]-style
+    minor-dim layouts pad 3 lanes to the 128-lane tile and waste ~98% of
+    HBM bandwidth on TPU). Inputs need NOT be depth-sorted; splats are
+    sorted here (by camera depth, the reference's visit order —
+    ProceduralGauss.rint:67-68).
     """
     N = depth.shape[0]
     ntx, nty = tile_extent(width, height, tile_w, tile_h)
@@ -154,7 +158,7 @@ def build_tile_binning(
 
     # --- footprint spans on the raw (unsorted) splats ---
     x0, x1, y0, y1, touched = compute_tile_spans(
-        mean2d, rx, ry, alive, width, height, tile_w, tile_h)
+        m2x, m2y, rx, ry, alive, width, height, tile_w, tile_h)
     opacity = jnp.where(alive, opacity, 0.0)
 
     # --- per-tile pair counts → tile offsets, order-independent (MXU
@@ -177,10 +181,8 @@ def build_tile_binning(
     xy0 = x0 | (y0 << 12)
     wspan_touch = ((x1 - x0 + 1) << 20) | touched
     (_, xy0, wspan_touch, m2x, m2y, qa, qb, qc, rgp, bop) = jax.lax.sort(
-        (key, xy0, wspan_touch, mean2d[:, 0], mean2d[:, 1],
-         quad[:, 0], quad[:, 1], quad[:, 2],
-         pack15(color[:, 0], color[:, 1]),
-         pack15(color[:, 2], opacity)),
+        (key, xy0, wspan_touch, m2x, m2y, qa_c, qb_c, qc_c,
+         pack15(cr, cg), pack15(cb, opacity)),
         num_keys=1, is_stable=False)
     x0s = xy0 & 0xFFF
     y0s = xy0 >> 12

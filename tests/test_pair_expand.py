@@ -101,7 +101,9 @@ def test_binning_parity_pallas_vs_xla():
             *a, width=64, height=48, tile_w=128, tile_h=8, chunk=384,
             max_pairs=1 << 13, expand_impl=impl,
             interpret=(impl == "pallas")))(
-                depth, mean2d, quad, cloud.opacity, colors, rx, ry, alive)
+                depth, mean2d[:, 0], mean2d[:, 1], quad[:, 0], quad[:, 1],
+                quad[:, 2], cloud.opacity, colors[:, 0], colors[:, 1],
+                colors[:, 2], rx, ry, alive)
         outs[impl] = (np.asarray(b.payload), np.asarray(b.tile_start))
     np.testing.assert_array_equal(outs["pallas"][1], outs["xla"][1])
     np.testing.assert_array_equal(outs["pallas"][0], outs["xla"][0])

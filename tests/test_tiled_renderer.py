@@ -68,7 +68,9 @@ def test_tiled_overflow_flag():
     rx, ry = screen_extents(quad, "standard", cfg.g_cutoff)
     colors = jnp.ones((cloud.n, 3)) * 0.5
     b = build_tile_binning(
-        depth, mean2d, quad, cloud.opacity, colors, rx, ry, in_front,
+        depth, mean2d[:, 0], mean2d[:, 1], quad[:, 0], quad[:, 1],
+        quad[:, 2], cloud.opacity, colors[:, 0], colors[:, 1], colors[:, 2],
+        rx, ry, in_front,
         width=160, height=96, chunk=128, max_pairs=128)
     assert bool(b.overflow)
     assert int(b.total_pairs) > 128
@@ -83,7 +85,7 @@ def test_tile_spans_cover_footprints():
     alive = jnp.ones(64, bool)
     W, H, TW, TH = 160, 96, 128, 8
     x0, x1, y0, y1, touched = compute_tile_spans(
-        mean2d, radius, radius, alive, W, H, TW, TH)
+        mean2d[:, 0], mean2d[:, 1], radius, radius, alive, W, H, TW, TH)
     x0, x1, y0, y1 = map(np.asarray, (x0, x1, y0, y1))
     m2, r, tch = np.asarray(mean2d), np.asarray(radius), np.asarray(touched)
     for i in range(64):

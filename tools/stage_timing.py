@@ -23,16 +23,16 @@ from gsrt.scene.catalog import random_cloud
 
 
 def timeit(fn, *args, n=10):
-    r = fn(*args)
-    jax.block_until_ready(r)
-    float(jnp.sum(jax.tree_util.tree_leaves(r)[0].ravel()[:1]))
-    best = 1e9
+    """Pipelined: queue n launches, sync once (amortizes the axon tunnel's
+    ~30 ms round-trip; block_until_ready is a no-op through the tunnel)."""
+    sync = jax.jit(lambda r: jax.tree_util.tree_leaves(r)[0].ravel()[:1].sum())
+    float(sync(fn(*args)))
+    t0 = time.perf_counter()
+    r = None
     for _ in range(n):
-        t0 = time.perf_counter()
         r = fn(*args)
-        float(jnp.sum(jax.tree_util.tree_leaves(r)[0].ravel()[:1]))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    float(sync(r))
+    return (time.perf_counter() - t0) / n
 
 
 W, H, N = 1920, 1080, 1_000_000
@@ -58,7 +58,8 @@ if not SKIP_DUP:
           f"ry={float(jnp.median(jnp.where(alive, ry, jnp.nan))):.1f} px")
     base = None
     for tw, th in [(128, 8), (64, 8), (32, 8), (16, 8), (16, 16), (128, 16)]:
-        *_, touched = compute_tile_spans(mean2d, rx, ry, alive, W, H, tw, th)
+        *_, touched = compute_tile_spans(mean2d[:, 0], mean2d[:, 1], rx, ry,
+                                         alive, W, H, tw, th)
         tot = int(jnp.sum(touched))
         if base is None:
             base = tot
@@ -72,29 +73,36 @@ print(f"tile {TW}x{TH} chunk {PC} expand={EXPAND} "
       f"max_pairs = {mp} ({mp/1e6:.2f}M)")
 
 
-@jax.jit
-def stage_project(cloud, camera):
-    return _precompute(cloud, camera, cfg)
+from gsrt.models.gaussian_rt import fm_from_cloud, _precompute_fm
+from gsrt.ops.gaussian import screen_extents_abc
+
+fmc = jax.block_until_ready(fm_from_cloud(cloud))
 
 
 @jax.jit
-def stage_binning(cloud, camera):
-    depth, mean2d, quad, in_front, colors = _precompute(cloud, camera, cfg)
-    rx, ry = screen_extents(quad, cfg.conic_mode, cfg.g_cutoff,
-                            opacity=cloud.opacity,
-                            alpha_threshold=cfg.alpha_threshold)
-    alive = in_front & (cloud.opacity > cfg.alpha_threshold)
+def stage_project(fmc, camera):
+    return _precompute_fm(fmc, camera, cfg)
+
+
+@jax.jit
+def stage_binning(fmc, camera):
+    depth, m2x, m2y, qa, qb, qc, in_front, cr, cg, cb = _precompute_fm(
+        fmc, camera, cfg)
+    rx, ry = screen_extents_abc(qa, qb, qc, cfg.conic_mode, cfg.g_cutoff,
+                                opacity=fmc.opacity,
+                                alpha_threshold=cfg.alpha_threshold)
+    alive = in_front & (fmc.opacity > cfg.alpha_threshold)
     return build_tile_binning(
-        depth, mean2d, quad, cloud.opacity, colors, rx, ry, alive,
+        depth, m2x, m2y, qa, qb, qc, fmc.opacity, cr, cg, cb, rx, ry, alive,
         width=W, height=H, tile_w=TW, tile_h=TH,
         chunk=cfg.pair_chunk, max_pairs=mp, expand_impl=EXPAND)
 
 
 full = jax.jit(functools.partial(render_tiled, cfg=cfg, max_pairs=mp))
 
-t_proj = timeit(stage_project, cloud, camera)
-t_bin = timeit(stage_binning, cloud, camera)
-t_full = timeit(full, cloud, camera)
+t_proj = timeit(stage_project, fmc, camera)
+t_bin = timeit(stage_binning, fmc, camera)
+t_full = timeit(full, fmc, camera)
 print(f"projection+SH: {t_proj*1e3:.1f} ms")
 print(f"proj+binning:  {t_bin*1e3:.1f} ms  (binning ≈ {(t_bin-t_proj)*1e3:.1f})")
 print(f"full frame:    {t_full*1e3:.1f} ms  (blend ≈ {(t_full-t_bin)*1e3:.1f})")

@@ -56,15 +56,24 @@ cfg = RenderConfig(width=W, height=H, conic_mode="standard")
 cloud, camera = random_cloud(N, seed=0, width=W, height=H,
                              scale_range=(0.004, 0.03))
 mp = GaussianRayTracer(cfg, "tiled").calibrate(cloud, camera)
+from gsrt.models.gaussian_rt import fm_from_cloud
+fmc = fm_from_cloud(cloud)
 @jax.jit
 def step(cl, cam):
     o = render_tiled(cl, cam, cfg, max_pairs=mp)
     return o.trans.sum() + o.color.sum()
-float(step(cloud, camera))
+float(step(fmc, camera))
+# pipelined: queue K frames, sync once (the axon tunnel's ~30 ms dispatch
+# round-trip is host latency, not device time — it overlaps across queued
+# launches)
+K = 8
 ts = []
 for _ in range(3):
-    t0 = time.perf_counter(); float(step(cloud, camera))
-    ts.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(K):
+        r = step(fmc, camera)
+    float(r)
+    ts.append((time.perf_counter() - t0) / K)
 dt = min(ts)
 print(f"OK {dt*1e3:.1f} ms/frame  {W*H/dt/1e6:.2f} Mrays/s")
 """,
