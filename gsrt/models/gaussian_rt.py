@@ -444,15 +444,23 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
 
 
 def trace_gaussian_rays(cloud: GaussianCloud, origins, dirs,
-                        cfg: RenderConfig, colors=None):
+                        cfg: RenderConfig, colors=None, t_max=None,
+                        sh_origin=None):
     """Trace ARBITRARY ray bundles through a Gaussian scene — the k-buffer
     multi-pass algorithm generalized from camera rays to free rays via the
     ray-space response (ops.gaussian.ray_gaussian_response). This is the
     capability the reference's Vulkan RT pipeline has structurally (any ray
-    can hit a splat BLAS) but never exercises beyond primary rays.
+    can hit a splat BLAS, hit group 4 — Application.cpp:253-398) but never
+    exercises beyond primary rays.
 
     origins/dirs: [R,3] (dirs need not be normalized — depth is the ray
-    parameter t). Returns (trans [R], color [R,3], hits [R]).
+    parameter t). t_max: optional per-ray [R] upper bound on t (e.g. the
+    distance to the nearest surface hit when compositing splats into a
+    path tracer's bounce segments); falls back to cfg.t_max.
+    colors: per-splat RGB [N,3]; if None, evaluated from the cloud's SH
+    with view directions taken from `sh_origin` (a [3] point, standard
+    3DGS per-splat convention) or flat DC-only if sh_origin is also None.
+    Returns (trans [R], color [R,3], hits [R]).
 
     Per pass: each ray gathers its k nearest (by t*) splats beyond its depth
     front with alpha above threshold, composites front-to-back, advances the
@@ -466,9 +474,17 @@ def trace_gaussian_rays(cloud: GaussianCloud, origins, dirs,
     N = cloud.n
     cov_inv = invert_cov3d(cloud.cov3d)
     if colors is None:
-        cam_fake_dirs = dirs / jnp.maximum(
-            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
-        colors = jnp.ones((N, 3)) * 0.5
+        if sh_origin is not None:
+            vdirs = cloud.means - jnp.asarray(sh_origin)[None, :]
+            vdirs = vdirs / jnp.maximum(
+                jnp.linalg.norm(vdirs, axis=-1, keepdims=True), 1e-9)
+            colors = eval_sh(cloud.sh, vdirs,
+                             min(cfg.sh_degree, cloud.sh_degree))
+        else:
+            colors = eval_sh(cloud.sh, jnp.zeros((N, 3)), 0)
+    tmax_r = jnp.broadcast_to(
+        jnp.asarray(cfg.t_max if t_max is None else t_max, jnp.float32),
+        (R,))
     chunk = min(cfg.splat_chunk, max(N, 8))
     (means_p, cov_inv_p, opac_p, colors_p), n_pad = _pad_splats(
         [cloud.means, cov_inv,
@@ -490,7 +506,7 @@ def trace_gaussian_rays(cloud: GaussianCloud, origins, dirs,
             alpha = jnp.minimum(alpha, 0.99)
             valid = ((g <= cfg.g_cutoff) & (alpha > cfg.alpha_threshold)
                      & (t_star > jnp.maximum(front[:, None], cfg.t_min))
-                     & (t_star < cfg.t_max))
+                     & (t_star < tmax_r[:, None]))
             cd = jnp.where(valid, t_star, init_d)
             md = jnp.concatenate([kd, cd], -1)
             ma = jnp.concatenate([ka, jnp.where(valid, alpha, 0.0)], -1)

@@ -399,12 +399,31 @@ def generate_camera_rays(key, camera: Camera, cfg: RenderConfig,
 
 def render_path_traced(scene: PrimitiveScene, camera: Camera,
                        cfg: RenderConfig, seed: int = 0,
-                       aperture: float = 0.0, focus: float = 1.0):
+                       aperture: float = 0.0, focus: float = 1.0,
+                       gaussians=None):
     """Full path trace: [H,W,3] linear color (sqrt-gamma'd if configured,
-    RayTracing.rgen:87-93)."""
+    RayTracing.rgen:87-93).
+
+    gaussians: optional GaussianCloud coexisting with the primitive scene —
+    the reference's mixed TLAS where splat BLASes (hit group 4) share the
+    scene with triangles and procedurals (Application.cpp:253-398). Every
+    bounce segment composites through the cloud: splat in-scatter is added
+    and the segment's transmittance attenuates the throughput, so splats
+    are seen by primary, reflected and refracted rays alike."""
+    from gsrt.models.gaussian_rt import trace_gaussian_rays
+    from gsrt.ops.sh import eval_sh
+
     H, W = camera.height, camera.width
     R = H * W
     key = jax.random.PRNGKey(seed)
+
+    gauss_colors = None
+    if gaussians is not None:
+        vdirs = gaussians.means - camera.position[None, :]
+        vdirs = vdirs / jnp.maximum(
+            jnp.linalg.norm(vdirs, axis=-1, keepdims=True), 1e-9)
+        gauss_colors = eval_sh(gaussians.sh, vdirs,
+                               min(cfg.sh_degree, gaussians.sh_degree))
 
     def one_sample(key):
         kr, kb = jax.random.split(key)
@@ -418,6 +437,21 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
             key, ks = jax.random.split(key)
             t, n, mat, hit, uv = _closest_hit_cutout(scene, orig, dirn,
                                                      cfg.t_min, cfg.t_max)
+
+            if gaussians is not None:
+                # composite the bounce segment through the splat medium:
+                # radiance toward the segment origin = splat in-scatter +
+                # T_gauss * (surface/sky term); throughput picks up T_gauss
+                seg_tmax = jnp.where(hit, t, cfg.t_max)
+                g_trans, g_color, _ = trace_gaussian_rays(
+                    gaussians, orig, dirn, cfg, colors=gauss_colors,
+                    t_max=seg_tmax)
+                out_color = out_color + jnp.where(
+                    active[:, None], ray_color * g_color, 0.0)
+                ray_color = jnp.where(active[:, None],
+                                      ray_color * g_trans[:, None],
+                                      ray_color)
+
             # miss → sky, terminate (rmiss)
             sky = _sky(dirn, cfg.has_sky)
             miss_now = active & ~hit

@@ -220,3 +220,39 @@ def cube_and_spheres(width=256, height=256):
     camera = make_camera(look_at((0, 0, 2), (0, 0, 0)), 90.0, width, height)
     return b.build(), camera, dict(aperture=0.05, focus=2.0, has_sky=True,
                                    gamma=False)
+
+
+def mirror_in_gaussians(width=128, height=128, n_splats=60, seed=7):
+    """Mixed-geometry scene: a fuzz-0 metallic sphere and a ground plane
+    inside a Gaussian cloud — the reference's TLAS-with-hit-groups
+    capability (splat BLAS hit group 4 next to triangles/procedurals,
+    RayTracing/Application.cpp:253-398). Splats must be visible both
+    directly and in the mirror reflection.
+
+    Returns (primitive_scene, gaussian_cloud, camera, opts)."""
+    from gsrt.core.types import GaussianCloud
+    from gsrt.ops.gaussian import quat_scale_to_cov3d
+    from gsrt.ops.sh import C0
+
+    b = _SceneBuilder()
+    b.sphere((0.0, 1.0, 0.0), 1.0, b.metallic((0.9, 0.9, 0.9), 0.0))
+    b.quad((-20, 0, -20), (20, 0, -20), (20, 0, 20), (-20, 0, 20),
+           b.lambertian((0.5, 0.5, 0.5)))
+
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-3.0, 3.0, (n_splats, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(0.5, 3.0, n_splats)  # keep above the floor
+    quats = rng.normal(size=(n_splats, 4)).astype(np.float32)
+    scales = rng.uniform(0.08, 0.25, (n_splats, 3)).astype(np.float32)
+    opac = rng.uniform(0.4, 0.9, n_splats).astype(np.float32)
+    rgb = rng.uniform(0.2, 1.0, (n_splats, 3)).astype(np.float32)
+    sh = ((rgb - 0.5) / C0)[:, None, :]
+    cloud = GaussianCloud(
+        means=jnp.asarray(centers),
+        cov3d=quat_scale_to_cov3d(jnp.asarray(quats), jnp.asarray(scales)),
+        opacity=jnp.asarray(opac), sh=jnp.asarray(sh))
+
+    camera = make_camera(look_at((0, 1.5, 6.0), (0, 1.0, 0.0)), 45.0,
+                         width, height)
+    return b.build(), cloud, camera, dict(aperture=0.0, focus=6.0,
+                                          has_sky=True, gamma=False)
