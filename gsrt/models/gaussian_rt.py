@@ -665,7 +665,10 @@ class GaussianRayTracer:
         # render program fail with InvalidArgument on the axon TPU runtime,
         # so sizing must not go through jax at all.
         total = int(count_pairs_numpy(cloud, camera, self.cfg))
-        need = max(1 << 14, int(total * 1.2))
+        # every binning stage (sorts, expand, blend dead-lanes) scales with
+        # the STATIC buffer size; 10% slack + overflow re-render (below)
+        # beats fat safety margins
+        need = max(1 << 14, int(total * 1.1))
         # (k/8)·2^j buckets: ≤12.5% bucket slack (the pair sort is the
         # single most expensive stage — it scales with the STATIC buffer
         # size, so loose buckets directly cost frame time)

@@ -125,60 +125,72 @@ def _blend_subtile_kernel(
             dma(1 - slot, j + 1).start()
 
         dma(slot, j).wait()
-        pay = buf[slot]                          # (PAYLOAD_WIDTH, window)
-
-        seg = b + c * chunk                      # first pair of this chunk
-        off = seg - (seg // 128) * 128           # alignment prefix lanes
-
-        t = t0 + s
-        ox = ((t % ntx) * sub_w).astype(jnp.float32)
-        oy = ((t // ntx) * sub_h).astype(jnp.float32)
-
-        mean_x = pay[0:1, :]                     # (1, window)
-        mean_y = pay[1:2, :]
-        qa = pay[2:3, :]
-        qb = pay[3:4, :]
-        qc = pay[4:5, :]
-        pay_i = pltpu.bitcast(pay, jnp.int32)
-        rg = pay_i[5:6, :]
-        bo = pay_i[6:7, :]
-        cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
-        cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
-        cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
-        op = (bo & 0x7FFF).astype(jnp.float32) * inv_q
-
-        dx = (xloc + ox) - mean_x                # (win, window)
-        dy = (yloc + oy) - mean_y
-        gq = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy + qc * dy * dy)
-
-        pair_idx = c * chunk + (lane - off)
-        live_lane = (lane >= off) & (pair_idx < n) & (lane < off + chunk)
-        if skip_range_check:
-            alpha = jnp.minimum(op * jnp.exp(-gq), alpha_clamp)
-            accept = (alpha > alpha_threshold) & live_lane
-        else:
-            in_range = (gq >= 0.0) & (gq <= g_cutoff)
-            alpha = op * jnp.exp(-jnp.where(in_range, gq, 0.0))
-            alpha = jnp.minimum(alpha, alpha_clamp)
-            accept = in_range & (alpha > alpha_threshold) & live_lane
-        alpha = jnp.where(accept, alpha, 0.0)
-
-        one_minus = 1.0 - alpha
-        excl, total = _cumprod_lanes_excl(one_minus, window)
 
         colmask = col_sel == s                   # (win, bs)
         trans_s = jnp.sum(jnp.where(colmask, trans, 0.0), axis=1,
                           keepdims=True)         # (win, 1)
-        w = alpha * excl * trans_s               # (win, window)
 
-        r_c = jnp.sum(w * cr, axis=-1, keepdims=True)
-        g_c = jnp.sum(w * cg, axis=-1, keepdims=True)
-        b_c = jnp.sum(w * cb, axis=-1, keepdims=True)
+        def blend(args):
+            trans, r_acc, g_acc, b_acc = args
+            pay = buf[slot]                      # (PAYLOAD_WIDTH, window)
 
-        trans = jnp.where(colmask, trans * total, trans)
-        r_acc = jnp.where(colmask, r_acc + r_c, r_acc)
-        g_acc = jnp.where(colmask, g_acc + g_c, g_acc)
-        b_acc = jnp.where(colmask, b_acc + b_c, b_acc)
+            seg = b + c * chunk                  # first pair of this chunk
+            off = seg - (seg // 128) * 128       # alignment prefix lanes
+
+            t = t0 + s
+            ox = ((t % ntx) * sub_w).astype(jnp.float32)
+            oy = ((t // ntx) * sub_h).astype(jnp.float32)
+
+            mean_x = pay[0:1, :]                 # (1, window)
+            mean_y = pay[1:2, :]
+            qa = pay[2:3, :]
+            qb = pay[3:4, :]
+            qc = pay[4:5, :]
+            pay_i = pltpu.bitcast(pay, jnp.int32)
+            rg = pay_i[5:6, :]
+            bo = pay_i[6:7, :]
+            cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+            cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
+            cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+            op = (bo & 0x7FFF).astype(jnp.float32) * inv_q
+
+            dx = (xloc + ox) - mean_x            # (win, window)
+            dy = (yloc + oy) - mean_y
+            gq = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy + qc * dy * dy)
+
+            pair_idx = c * chunk + (lane - off)
+            live_lane = (lane >= off) & (pair_idx < n) & (lane < off + chunk)
+            if skip_range_check:
+                alpha = jnp.minimum(op * jnp.exp(-gq), alpha_clamp)
+                accept = (alpha > alpha_threshold) & live_lane
+            else:
+                in_range = (gq >= 0.0) & (gq <= g_cutoff)
+                alpha = op * jnp.exp(-jnp.where(in_range, gq, 0.0))
+                alpha = jnp.minimum(alpha, alpha_clamp)
+                accept = in_range & (alpha > alpha_threshold) & live_lane
+            alpha = jnp.where(accept, alpha, 0.0)
+
+            one_minus = 1.0 - alpha
+            excl, total = _cumprod_lanes_excl(one_minus, window)
+
+            w = alpha * excl * trans_s           # (win, window)
+
+            r_c = jnp.sum(w * cr, axis=-1, keepdims=True)
+            g_c = jnp.sum(w * cg, axis=-1, keepdims=True)
+            b_c = jnp.sum(w * cb, axis=-1, keepdims=True)
+
+            return (jnp.where(colmask, trans * total, trans),
+                    jnp.where(colmask, r_acc + r_c, r_acc),
+                    jnp.where(colmask, g_acc + g_c, g_acc),
+                    jnp.where(colmask, b_acc + b_c, b_acc))
+
+        # skip the blend math once this subtile's transmittance saturates
+        # (front-to-back order makes later chunks no-ops); the DMA stream
+        # keeps flowing so the pipeline stays intact — payload bandwidth is
+        # negligible (~0.3 ms/frame), the VPU work is not
+        trans, r_acc, g_acc, b_acc = jax.lax.cond(
+            jnp.max(trans_s) > term_eps, blend, lambda a: a,
+            (trans, r_acc, g_acc, b_acc))
         return j + 1, trans, r_acc, g_acc, b_acc
 
     def cond(state):
