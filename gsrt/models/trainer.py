@@ -113,6 +113,30 @@ def render_loss(params: GaussianParams, target, camera: Camera,
     return loss
 
 
+def render_loss_tiled(params: GaussianParams, target, camera: Camera,
+                      cfg: RenderConfig, max_pairs: int,
+                      lambda_ssim: float = 0.2, interpret: bool = False):
+    """`render_loss` on the TILED perf path (custom-VJP Pallas backward,
+    gsrt.models.tiled_diff) — scales to full resolutions/splat counts that
+    render_fast AD cannot hold residuals for."""
+    from gsrt.models.tiled_diff import render_tiled_diff
+    img, _ = render_tiled_diff(params.to_cloud(), camera, cfg, max_pairs,
+                               interpret=interpret)
+    l1 = jnp.mean(jnp.abs(img - target))
+    if lambda_ssim > 0 and min(camera.height, camera.width) >= 11:
+        return (1 - lambda_ssim) * l1 + lambda_ssim * (1 - _ssim(img, target))
+    return l1
+
+
+def train_step_tiled(params, opt_state, target, camera, cfg, optimizer,
+                     max_pairs: int, lambda_ssim=0.2, interpret=False):
+    loss, grads = jax.value_and_grad(render_loss_tiled)(
+        params, target, camera, cfg, max_pairs, lambda_ssim, interpret)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
 def make_optimizer(lr_means=1.6e-4, lr_scales=5e-3, lr_quats=1e-3,
                    lr_opacity=5e-2, lr_sh=2.5e-3):
     """Per-parameter-group Adam (the INRIA learning-rate split)."""

@@ -72,6 +72,14 @@ class TileBinning(NamedTuple):
     tile_count: jnp.ndarray   # [T] int32 pairs per tile
     total_pairs: jnp.ndarray  # [] int32 pairs before capping
     overflow: jnp.ndarray     # [] bool — total_pairs exceeded max_pairs
+    # --- set only when built with with_ids=True (the differentiable path;
+    # used to route per-pair gradients back to splats) ---
+    sorted_base: jnp.ndarray = None     # [N] int32 first-pair offset per
+                                        # depth-sorted splat (_DEAD_BASE if
+                                        # no pairs)
+    sorted_touched: jnp.ndarray = None  # [N] int32 pairs per sorted splat
+    sorted_orig: jnp.ndarray = None     # [N] int32 original splat index of
+                                        # each depth-sorted slot
 
 
 def tile_extent(width: int, height: int, tile_w: int, tile_h: int):
@@ -141,6 +149,7 @@ def build_tile_binning(
     *, width: int, height: int, tile_w: int = 128, tile_h: int = 8,
     chunk: int = 128, max_pairs: int = 1 << 20,
     expand_impl: str = "xla", interpret: bool = False,
+    with_ids: bool = False,
 ) -> TileBinning:
     """Bin splats into per-tile, depth-sorted pair lists.
 
@@ -149,6 +158,12 @@ def build_tile_binning(
     HBM bandwidth on TPU). Inputs need NOT be depth-sorted; splats are
     sorted here (by camera depth, the reference's visit order —
     ProceduralGauss.rint:67-68).
+
+    with_ids=True (the differentiable path) additionally carries each
+    pair's depth-order index through the tile sort into payload row 7
+    (bitcast int32; max_pairs sentinel on dead slots) and returns the
+    depth-sorted splat bookkeeping (sorted_base / sorted_touched /
+    sorted_orig) used to route per-pair gradients back to splats.
     """
     N = depth.shape[0]
     ntx, nty = tile_extent(width, height, tile_w, tile_h)
@@ -180,10 +195,13 @@ def build_tile_binning(
     key = jnp.where(touched > 0, depth, jnp.inf)
     xy0 = x0 | (y0 << 12)
     wspan_touch = ((x1 - x0 + 1) << 20) | touched
-    (_, xy0, wspan_touch, m2x, m2y, qa, qb, qc, rgp, bop) = jax.lax.sort(
-        (key, xy0, wspan_touch, m2x, m2y, qa_c, qb_c, qc_c,
-         pack15(cr, cg), pack15(cb, opacity)),
-        num_keys=1, is_stable=False)
+    carry_ops = (key, xy0, wspan_touch, m2x, m2y, qa_c, qb_c, qc_c,
+                 pack15(cr, cg), pack15(cb, opacity))
+    if with_ids:
+        carry_ops = carry_ops + (jnp.arange(N, dtype=jnp.int32),)
+    sorted_carry = jax.lax.sort(carry_ops, num_keys=1, is_stable=False)
+    (_, xy0, wspan_touch, m2x, m2y, qa, qb, qc, rgp, bop) = sorted_carry[:10]
+    orig_s = sorted_carry[10] if with_ids else None
     x0s = xy0 & 0xFFF
     y0s = xy0 >> 12
     w_span = jnp.maximum(wspan_touch >> 20, 1)
@@ -231,22 +249,31 @@ def build_tile_binning(
     # --- stable sort by tile, CARRYING the 7 feature rows (splats are
     # depth-ordered, so within-tile order stays front-to-back; carrying
     # beats a post-sort random gather) ---
-    sorted_ops = jax.lax.sort(
-        (tile,) + tuple(pair_feats),
-        num_keys=1, is_stable=True)
+    sort_ops = (tile,) + tuple(pair_feats)
+    if with_ids:
+        sort_ops = sort_ops + (slots,)     # depth-order pair index
+    sorted_ops = jax.lax.sort(sort_ops, num_keys=1, is_stable=True)
     tile_s = sorted_ops[0]
-    feats = sorted_ops[1:]
+    feats = sorted_ops[1:1 + N_FEATURES]
+    idp_s = sorted_ops[1 + N_FEATURES] if with_ids else None
 
     # --- feature-major payload (sentinel tail already has opacity 0 via the
     # `valid` gating below; padded tail covers the kernel's aligned
     # over-fetch window) ---
     dead = tile_s >= T
     pad = chunk + 128
-    payload = jnp.stack(
-        list(feats)
-        + [jnp.zeros_like(tile_s, jnp.float32)] * (PAYLOAD_WIDTH - N_FEATURES),
-        axis=0)                                      # [PAYLOAD_WIDTH, MP]
-    payload = jnp.where(dead[None, :], 0.0, payload)
+    extra = [jnp.zeros_like(tile_s, jnp.float32)] * (PAYLOAD_WIDTH
+                                                     - N_FEATURES)
+    if with_ids:
+        extra[0] = jax.lax.bitcast_convert_type(
+            jnp.where(dead, max_pairs, idp_s).astype(jnp.int32),
+            jnp.float32)
+    payload = jnp.stack(list(feats) + extra, axis=0)  # [PAYLOAD_WIDTH, MP]
+    payload = jnp.where(dead[None, :],
+                        jnp.where(jnp.arange(PAYLOAD_WIDTH)[:, None]
+                                  == N_FEATURES,
+                                  payload, 0.0) if with_ids else 0.0,
+                        payload)
     payload = jnp.pad(payload, ((0, 0), (0, pad)))
 
     return TileBinning(
@@ -255,4 +282,7 @@ def build_tile_binning(
         tile_count=counts,
         total_pairs=total.astype(jnp.int32),
         overflow=overflow,
+        sorted_base=base if with_ids else None,
+        sorted_touched=touched_s if with_ids else None,
+        sorted_orig=orig_s,
     )
