@@ -167,12 +167,20 @@ def cmd_pt(args) -> int:
 
 def cmd_bench(args) -> int:
     """lumibench.sh-style sweep: scene × shader-type grid at 128x128/2spp
-    (lumibench.sh:1-46), emitting one JSON record per run."""
+    (lumibench.sh:1-46), emitting one JSON record per run.
+
+    --suite lumibench sweeps the named REFERENCE datasets
+    (gsrt.scene.reference_scenes: TreesAndGrass, Blender_2.xx, Bathroom,
+    Ship — 6K-1M+ triangles) through the Morton-cluster acceleration
+    structure, reporting aabb/prim tests per camera ray (the
+    rt_avg_nodes_per_ray analogue, gpu-sim.cc:1504-1532)."""
+    import functools
     from gsrt.core.config import RenderConfig
     from gsrt.models.path_tracer import (
         render_ambient_occlusion,
         render_path_traced,
         render_shadow_rays,
+        with_tri_clusters,
     )
     from gsrt.scene.primitives_catalog import (
         cornell_box,
@@ -181,15 +189,44 @@ def cmd_bench(args) -> int:
     )
 
     results = []
-    scenes = {"rtiow": ray_tracing_in_one_weekend,
-              "cornell": cornell_box,
-              "cubes": cube_and_spheres}
+    if args.suite == "lumibench":
+        from gsrt.scene.reference_scenes import (REFERENCE_SCENES,
+                                                 reference_data_available)
+        if not reference_data_available():
+            print("reference Scenes/ data not found", file=sys.stderr)
+            return 1
+        scenes = {k: functools.partial(f, max_files=args.max_files)
+                  for k, f in REFERENCE_SCENES.items()}
+    else:
+        scenes = {"rtiow": ray_tracing_in_one_weekend,
+                  "cornell": cornell_box,
+                  "cubes": cube_and_spheres}
+    if args.scenes:
+        keep = set(args.scenes.split(","))
+        scenes = {k: v for k, v in scenes.items() if k in keep}
     for sname, factory in scenes.items():
         scene, camera, extra = factory(args.width, args.height)
         cfg = RenderConfig(width=args.width, height=args.height,
                            samples=args.samples, bounces=args.bounces,
                            has_sky=extra["has_sky"],
                            gamma_correction=extra["gamma"])
+        n_tris = int(scene.tri_v0.shape[0])
+        stats = {}
+        if args.suite == "lumibench":
+            scene = with_tri_clusters(scene)
+            if scene.tri_clusters is not None:
+                # traversal-work metric on the primary bundle
+                from gsrt.models.path_tracer import generate_camera_rays
+                from gsrt.ops.clusters import closest_hit_tri_clusters
+                import jax
+                orig, dirn = generate_camera_rays(
+                    jax.random.PRNGKey(0), camera, cfg)
+                *_, aabb_n, prim_n = closest_hit_tri_clusters(
+                    scene.tri_clusters, orig, dirn, cfg.t_min, cfg.t_max)
+                R = orig.shape[0]
+                stats = {"tris": n_tris,
+                         "aabb_tests_per_ray": round(float(aabb_n) / R, 1),
+                         "prim_tests_per_ray": round(float(prim_n) / R, 1)}
         for wname, fn in [
             ("PT", lambda: render_path_traced(scene, camera, cfg)),
             ("SH", lambda: render_shadow_rays(scene, camera, cfg,
@@ -204,7 +241,7 @@ def cmd_bench(args) -> int:
                    "width": args.width, "height": args.height,
                    "samples": args.samples, "ms": round(dt * 1e3, 2),
                    "mrays_s": round(args.width * args.height *
-                                    args.samples / dt / 1e6, 3)}
+                                    args.samples / dt / 1e6, 3), **stats}
             results.append(rec)
             print(json.dumps(rec))
     if args.out:
@@ -314,6 +351,13 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="lumibench-style sweep")
     _add_common(p)
+    p.add_argument("--suite", choices=["synthetic", "lumibench"],
+                   default="synthetic",
+                   help="lumibench = reference Scenes/ datasets")
+    p.add_argument("--scenes", type=str, default=None,
+                   help="comma-separated scene-name filter")
+    p.add_argument("--max-files", type=int, default=None,
+                   help="cap OBJ count per directory scene")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("compare", help="PSNR/SSIM between two PNGs")

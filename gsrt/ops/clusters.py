@@ -200,6 +200,14 @@ def closest_hit_tri_clusters(tc: TriClusters, orig, dirn, t_min, t_max):
     R = orig.shape[0]
     cl = tc.clusters
     k = cl.k
+    # normalize per-ray bounds: [R] for slab tests, [R,1] against [R,K]
+    t_min = jnp.asarray(t_min, jnp.float32)
+    t_max = jnp.asarray(t_max, jnp.float32)
+    tmin_row = jnp.broadcast_to(t_min.reshape(-1) if t_min.ndim else t_min,
+                                (R,))
+    tmax_row = jnp.broadcast_to(t_max.reshape(-1) if t_max.ndim else t_max,
+                                (R,))
+    t_min, t_max = tmin_row[:, None], tmax_row[:, None]
 
     def cluster_fn(c, carry):
         best_t, best_c, best_k = carry
@@ -213,9 +221,9 @@ def closest_hit_tri_clusters(tc: TriClusters, orig, dirn, t_min, t_max):
                 jnp.where(upd, c, best_c),
                 jnp.where(upd, ki.astype(jnp.int32), best_k))
 
-    carry0 = (jnp.minimum(jnp.full((R,), jnp.inf), t_max),
+    carry0 = (jnp.full((R,), jnp.inf),
               jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32))
     (best_t, best_c, best_k), aabb_n, leaf_n = traverse_clusters(
-        cl, orig, dirn, t_min, carry0, cluster_fn, lambda c: c[0])
-    hit = jnp.isfinite(best_t) & (best_t < t_max)
+        cl, orig, dirn, tmin_row, carry0, cluster_fn, lambda c: c[0])
+    hit = jnp.isfinite(best_t) & (best_t < tmax_row)
     return best_t, best_c, best_k, hit, aabb_n, leaf_n
