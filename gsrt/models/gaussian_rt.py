@@ -377,7 +377,10 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         which evaluates each pair against only the tile_w*tile_h pixels its
         footprint can cover (~4-8x less VPU work per pair).
 
-    Exact-exp only (no LUT mode).
+    cfg.use_exp_lut=True evaluates alpha through the reference's
+    256-segment piecewise-linear exp (ExpLUT.hpp semantics) inside the
+    kernel, enabling exact LUT-vs-LUT comparison with render_fast /
+    render_reference.
     """
     from gsrt.ops.gaussian import screen_extents_abc
     from gsrt.ops.tile_binning import build_tile_binning
@@ -407,10 +410,12 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
 
     alpha_clamp = 0.99 if cfg.conic_mode == "standard" else 0.999999
     # in standard mode with opacity ≤ 1, alpha > 1/255 implies g < ln(255)
-    # < 5.6 = g_cutoff — the kernel can skip the g-range test
+    # < 5.6 = g_cutoff — the kernel can skip the g-range test (exact exp
+    # only: the LUT chord sits above exp, so the implication can leak)
     skip_range = (cfg.conic_mode == "standard"
                   and cfg.alpha_threshold >= 1.0 / 255.0
-                  and cfg.g_cutoff >= 5.55)
+                  and cfg.g_cutoff >= 5.55
+                  and not cfg.use_exp_lut)
     if (tw, th) == (128, 8):
         from gsrt.ops.splat_pallas import blend_tiles
         color, trans = blend_tiles(
@@ -418,7 +423,7 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
             chunk=cfg.pair_chunk,
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
-            skip_range_check=skip_range)
+            skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
     else:
         from gsrt.ops.splat_subtile import blend_subtiles
         color, trans = blend_subtiles(
@@ -426,7 +431,7 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
             sub_w=tw, sub_h=th, chunk=cfg.pair_chunk,
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
-            skip_range_check=skip_range)
+            skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
 
     if cfg.white_background:
         color = color + trans[..., None]

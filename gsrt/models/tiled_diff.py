@@ -54,7 +54,8 @@ def tiled_blend_diff(cfg: RenderConfig, camera: Camera, max_pairs: int,
     alpha_clamp = 0.99 if cfg.conic_mode == "standard" else 0.999999
     skip_range = (cfg.conic_mode == "standard"
                   and cfg.alpha_threshold >= 1.0 / 255.0
-                  and cfg.g_cutoff >= 5.55)
+                  and cfg.g_cutoff >= 5.55
+                  and not cfg.use_exp_lut)
 
     def _forward(m2x, m2y, qa, qb, qc, opacity, cr, cg, cb):
         binning = build_tile_binning(
@@ -70,7 +71,7 @@ def tiled_blend_diff(cfg: RenderConfig, camera: Camera, max_pairs: int,
                 binning, width=W, height=H, chunk=cfg.pair_chunk,
                 g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
                 alpha_clamp=alpha_clamp, interpret=interpret,
-                skip_range_check=skip_range)
+                skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
         else:
             from gsrt.ops.splat_subtile import blend_subtiles
             color, trans = blend_subtiles(
@@ -78,7 +79,7 @@ def tiled_blend_diff(cfg: RenderConfig, camera: Camera, max_pairs: int,
                 chunk=cfg.pair_chunk, g_cutoff=cfg.g_cutoff,
                 alpha_threshold=cfg.alpha_threshold,
                 alpha_clamp=alpha_clamp, interpret=interpret,
-                skip_range_check=skip_range)
+                skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
         return (color, trans), binning
 
     @jax.custom_vjp
@@ -120,7 +121,7 @@ def tiled_blend_diff(cfg: RenderConfig, camera: Camera, max_pairs: int,
             tile_w=tw, tile_h=th, chunk=min(cfg.pair_chunk, 128),
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, skip_range_check=skip_range,
-            interpret=interpret)
+            use_exp_lut=cfg.use_exp_lut, interpret=interpret)
 
         # pairs (tile order) -> depth-pair order via the carried idp row
         idp = jax.lax.bitcast_convert_type(payload[7, :max_pairs],

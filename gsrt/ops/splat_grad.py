@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gsrt.ops.splat_pallas import _cumprod_lanes_excl
+from gsrt.ops.splat_pallas import _cumprod_lanes_excl, _exp_neg_lut
 from gsrt.ops.tile_binning import PACK_RANGE, PAYLOAD_WIDTH, tile_extent
 
 GRAD_ROWS = 16   # 9 used: d_mx, d_my, d_qa, d_qb, d_qc, d_op, d_cr/cg/cb
@@ -77,7 +77,7 @@ def _blend_bwd_kernel(
     *,
     ntx: int, tw: int, th: int, chunk: int,
     g_cutoff: float, alpha_threshold: float, alpha_clamp: float,
-    term_eps: float, skip_range_check: bool,
+    term_eps: float, skip_range_check: bool, use_exp_lut: bool,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -156,7 +156,15 @@ def _blend_bwd_kernel(
 
         pair_idx = c * chunk + (lane - off)
         live = (lane >= off) & (pair_idx < n) & (lane < off + chunk)
-        expg = jnp.exp(-jnp.where(gq >= 0.0, gq, 0.0))
+        gq_c = jnp.where(gq >= 0.0, gq, 0.0)
+        if use_exp_lut:
+            expg = _exp_neg_lut(gq_c)
+            # the LUT is piecewise linear: d(expg)/dgq = slope = -e^{-x0}
+            qx0 = jnp.clip((gq_c * 32.0).astype(jnp.int32), 0, 255)
+            dexp = -jnp.exp(-qx0.astype(jnp.float32) * (1.0 / 32.0))
+        else:
+            expg = jnp.exp(-gq_c)
+            dexp = -expg
         raw = op * expg
         if skip_range_check:
             accept = (raw > alpha_threshold) & live
@@ -185,7 +193,7 @@ def _blend_bwd_kernel(
                    - d_tn * t_n * inv_om)
         d_alpha = jnp.where(accept & ~clamped, d_alpha, 0.0)
 
-        d_gq = d_alpha * (-alpha)
+        d_gq = d_alpha * op * dexp
         d_op = jnp.where(accept & ~clamped, d_alpha * expg, 0.0)
 
         def red(x):                              # (win, window) -> (1, w)
@@ -235,7 +243,7 @@ def blend_backward(payload, tile_start, pixstate, *,
                    width: int, height: int, tile_w: int, tile_h: int,
                    chunk: int, g_cutoff: float, alpha_threshold: float,
                    alpha_clamp: float, term_eps: float = 1e-4,
-                   skip_range_check: bool = False,
+                   skip_range_check: bool = False, use_exp_lut: bool = False,
                    interpret: bool = False):
     """Run the backward blend.
 
@@ -255,7 +263,7 @@ def blend_backward(payload, tile_start, pixstate, *,
         _blend_bwd_kernel, ntx=ntx, tw=tile_w, th=tile_h, chunk=chunk,
         g_cutoff=g_cutoff, alpha_threshold=alpha_threshold,
         alpha_clamp=alpha_clamp, term_eps=term_eps,
-        skip_range_check=skip_range_check)
+        skip_range_check=skip_range_check, use_exp_lut=use_exp_lut)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -33,6 +33,18 @@ from gsrt.ops.tile_binning import PAYLOAD_WIDTH, TileBinning, tile_extent
 TILE_H = 8
 TILE_W = 128
 
+def _exp_neg_lut(x):
+    """Piecewise-linear exp(-x), bit-matching the reference's 256-segment
+    LUT over [0, 8] (ExpLUT.hpp:10-24 / ProceduralGauss.rint:45-54). The
+    table entries are analytic (slope = -e^{-x0}, bias = e^{-x0} at
+    x0 = qx/32), so the kernel computes them instead of gathering — TPU
+    lanes have no dynamic table lookup, but exp is a fast VPU op."""
+    qx = jnp.clip((x * 32.0).astype(jnp.int32), 0, 255)
+    x0 = qx.astype(jnp.float32) * (1.0 / 32.0)
+    e0 = jnp.exp(-x0)
+    return (-e0) * (x - x0) + e0
+
+
 
 def _cumprod_lanes_excl(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """Exclusive cumulative product along the last (lane) axis via a
@@ -64,7 +76,7 @@ def _blend_kernel(
     *,
     ntx: int, chunk: int,
     g_cutoff: float, alpha_threshold: float, alpha_clamp: float,
-    term_eps: float, skip_range_check: bool,
+    term_eps: float, skip_range_check: bool, use_exp_lut: bool,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -137,15 +149,16 @@ def _blend_kernel(
         # mask the alignment prefix and the ragged tail
         pair_idx = c * chunk + (lane - off)
         live_lane = (lane >= off) & (pair_idx < n) & (lane < off + chunk)
+        expf = _exp_neg_lut if use_exp_lut else lambda v: jnp.exp(-v)
         if skip_range_check:
             # standard mode with opacity ≤ 1: alpha > 1/255 already implies
             # g < ln(255) < 5.6, so the g-range test is redundant (g ≥ 0
             # holds for a PSD conic; exp(−g) underflows cleanly for huge g)
-            alpha = jnp.minimum(op * jnp.exp(-g), alpha_clamp)
+            alpha = jnp.minimum(op * expf(g), alpha_clamp)
             accept = (alpha > alpha_threshold) & live_lane
         else:
             in_range = (g >= 0.0) & (g <= g_cutoff)
-            alpha = op * jnp.exp(-jnp.where(in_range, g, 0.0))
+            alpha = op * expf(jnp.where(in_range, g, 0.0))
             alpha = jnp.minimum(alpha, alpha_clamp)
             accept = in_range & (alpha > alpha_threshold) & live_lane
         alpha = jnp.where(accept, alpha, 0.0)
@@ -182,7 +195,7 @@ def blend_tiles(
     chunk: int = 128, g_cutoff: float = 5.6,
     alpha_threshold: float = 1.0 / 255.0, alpha_clamp: float = 0.99,
     term_eps: float = 1e-4, interpret: bool = False,
-    skip_range_check: bool = False,
+    skip_range_check: bool = False, use_exp_lut: bool = False,
 ):
     """Run the tile blend. Returns (color [H,W,3], trans [H,W]) cropped to
     the true image size."""
@@ -195,7 +208,7 @@ def blend_tiles(
         ntx=ntx, chunk=chunk, g_cutoff=g_cutoff,
         alpha_threshold=alpha_threshold,
         alpha_clamp=alpha_clamp, term_eps=term_eps,
-        skip_range_check=skip_range_check,
+        skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gsrt.ops.splat_pallas import _cumprod_lanes_excl
+from gsrt.ops.splat_pallas import _cumprod_lanes_excl, _exp_neg_lut
 from gsrt.ops.tile_binning import (PACK_RANGE, PAYLOAD_WIDTH, TileBinning,
                                    tile_extent)
 
@@ -60,7 +60,7 @@ def _blend_subtile_kernel(
     *,
     ntx: int, sub_w: int, sub_h: int, bs: int, chunk: int,
     g_cutoff: float, alpha_threshold: float, alpha_clamp: float,
-    term_eps: float, skip_range_check: bool,
+    term_eps: float, skip_range_check: bool, use_exp_lut: bool,
 ):
     grp = pl.program_id(0)
     t0 = grp * bs
@@ -160,12 +160,13 @@ def _blend_subtile_kernel(
 
             pair_idx = c * chunk + (lane - off)
             live_lane = (lane >= off) & (pair_idx < n) & (lane < off + chunk)
+            expf = _exp_neg_lut if use_exp_lut else lambda v: jnp.exp(-v)
             if skip_range_check:
-                alpha = jnp.minimum(op * jnp.exp(-gq), alpha_clamp)
+                alpha = jnp.minimum(op * expf(gq), alpha_clamp)
                 accept = (alpha > alpha_threshold) & live_lane
             else:
                 in_range = (gq >= 0.0) & (gq <= g_cutoff)
-                alpha = op * jnp.exp(-jnp.where(in_range, gq, 0.0))
+                alpha = op * expf(jnp.where(in_range, gq, 0.0))
                 alpha = jnp.minimum(alpha, alpha_clamp)
                 accept = in_range & (alpha > alpha_threshold) & live_lane
             alpha = jnp.where(accept, alpha, 0.0)
@@ -213,7 +214,7 @@ def blend_subtiles(
     chunk: int = 128, g_cutoff: float = 5.6,
     alpha_threshold: float = 1.0 / 255.0, alpha_clamp: float = 0.99,
     term_eps: float = 1e-4, interpret: bool = False,
-    skip_range_check: bool = False,
+    skip_range_check: bool = False, use_exp_lut: bool = False,
 ):
     """Run the subtile blend. `binning` must have been built with
     tile_w=sub_w, tile_h=sub_h. Returns (color [H,W,3], trans [H,W])."""
@@ -240,7 +241,7 @@ def blend_subtiles(
         ntx=ntx, sub_w=sub_w, sub_h=sub_h, bs=bs, chunk=chunk,
         g_cutoff=g_cutoff, alpha_threshold=alpha_threshold,
         alpha_clamp=alpha_clamp, term_eps=term_eps,
-        skip_range_check=skip_range_check,
+        skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -153,3 +153,24 @@ def test_numpy_count_matches_jax():
     b = count_pairs_numpy(cloud, camera, cfg)
     # fp rounding at tile borders may move a handful of pairs
     assert abs(a - b) <= max(4, a // 1000), (a, b)
+
+
+def test_tiled_lut_mode_matches_fast_lut():
+    """cfg.use_exp_lut=True runs the reference's 256-segment piecewise
+    exp (ExpLUT.hpp:10-24) INSIDE the Pallas kernel; must match
+    render_fast's LUT path (VERDICT round-1 item 10)."""
+    cloud, camera = random_cloud(250, seed=7, width=64, height=48)
+    cfg = RenderConfig(width=64, height=48, conic_mode="standard",
+                       use_exp_lut=True)
+    a = render_fast(cloud, camera, cfg)
+    b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 13)
+    np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               atol=5e-4)
+    # and the LUT image must actually DIFFER from exact-exp (same scene)
+    cfg2 = RenderConfig(width=64, height=48, conic_mode="standard",
+                        use_exp_lut=False)
+    c = _render_tiled_interp(cloud, camera, cfg2, max_pairs=1 << 13)
+    assert float(np.abs(np.asarray(b.trans) - np.asarray(c.trans)).max()) \
+        > 1e-5
