@@ -117,23 +117,27 @@ def _merge_rank(base: jnp.ndarray, mp: int, n: int) -> jnp.ndarray:
     """s[p] = clip(#{j: base[j] <= p} - 1, 0, n-1) for p in [0, mp).
 
     base must be sorted ascending (strictly increasing over live splats,
-    then _DEAD_BASE sentinels). Implemented as a sorted merge:
-      1. stable-sort concat(base, arange(mp)) carrying a tag row (splat=1,
-         query=0); ties put the splat first (side='right' semantics) since
-         base entries precede queries in the concat order;
-      2. inclusive cumsum of the tag = splats seen so far at each merge
-         position;
-      3. compact the query entries back out in order with one more stable
-         2-operand sort by tag (queries keep relative order, tag 0 < 1).
+    then _DEAD_BASE sentinels). Implemented as a sorted merge with the
+    tag PACKED into the key so both passes are single-operand sorts
+    (operand count is the dominant sort cost on TPU):
+      1. sort (key·2 + tag) with tag splat=0/query=1 — a splat ties
+         BEFORE the equal query, giving side='right' counts;
+      2. inclusive cumsum of the tag complement = splats seen so far;
+      3. compact the query ranks back out in order by sorting
+         (query_flag << 30) | rank — queries (flag 0) come first and,
+         being mutually ascending, stay in query order.
+    Bit budget: key·2+tag needs mp·2 < 2^31 and rank < 2^30 — fine for
+    any realistic pair buffer (mp < 2^30).
     """
     queries = jnp.arange(mp, dtype=jnp.int32)
-    keys = jnp.concatenate([base, queries])
-    tag = jnp.concatenate([jnp.ones((base.shape[0],), jnp.int32),
-                           jnp.zeros((mp,), jnp.int32)])
-    k1, t1 = jax.lax.sort((keys, tag), num_keys=1, is_stable=True)
-    ranks = jnp.cumsum(t1) - 1
-    _, s_q = jax.lax.sort((t1, ranks), num_keys=1, is_stable=True)
-    return jnp.clip(s_q[:mp], 0, n - 1).astype(jnp.int32)
+    base_c = jnp.minimum(base, mp)               # _DEAD_BASE would overflow
+    packed = jnp.concatenate([base_c * 2, queries * 2 + 1])
+    p1 = jax.lax.sort(packed, is_stable=False)   # packed keys are distinct
+    is_query = p1 & 1
+    ranks = jnp.maximum(jnp.cumsum(1 - is_query) - 1, 0)
+    packed2 = ((1 - is_query) << 30) | ranks     # splats flagged to the top
+    p2 = jax.lax.sort(packed2, is_stable=True)
+    return jnp.clip(p2[:mp] & ((1 << 30) - 1), 0, n - 1).astype(jnp.int32)
 
 
 def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
@@ -167,10 +171,10 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     n_pad = W + ((-N) % 128)
     tabf = jnp.pad(tabf, ((0, 0), (0, n_pad)))
 
-    # per-pair source index via a hand-rolled merge rank: two 2-operand
-    # sorts + a cumsum. jnp.searchsorted(method='sort') measured 70 ms at
-    # 3.7M queries on v5e (it pays extra unsort/gather passes); this form
-    # is ~4x cheaper. Exploits that queries are arange (already sorted).
+    # per-pair source index via a hand-rolled merge rank: two single-operand
+    # packed sorts + a cumsum. jnp.searchsorted(method='sort') measured 70 ms
+    # at 3.7M queries on v5e (it pays extra unsort/gather passes); this form
+    # is ~5x cheaper. Exploits that queries are arange (already sorted).
     s_pair = _merge_rank(base, mp_pad, N)
     srow = jnp.pad(s_pair[None, :], ((0, 7), (128, 0)))  # [8, mp_pad + 128]
 

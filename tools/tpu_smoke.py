@@ -84,7 +84,7 @@ def main() -> int:
     failed = []
     for name, code in CHECKS.items():
         r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True, timeout=900)
+                           capture_output=True, text=True, timeout=1800)
         lines = [ln for ln in r.stdout.splitlines() if not
                  ln.startswith("WARNING")]
         status = lines[-1] if lines and r.returncode == 0 else "FAILED"
