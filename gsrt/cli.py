@@ -213,20 +213,27 @@ def cmd_bench(args) -> int:
         n_tris = int(scene.tri_v0.shape[0])
         stats = {}
         if args.suite == "lumibench":
-            scene = with_tri_clusters(scene)
-            if scene.tri_clusters is not None:
-                # traversal-work metric on the primary bundle
+            from gsrt.models.path_tracer import with_tri_table
+            scene = with_tri_table(scene)
+            if scene.tri_table is not None:
+                # traversal-work metric on the primary bundle: visited
+                # super-clusters per block x 128 leaf tris per cluster
                 from gsrt.models.path_tracer import generate_camera_rays
-                from gsrt.ops.clusters import closest_hit_tri_clusters
+                from gsrt.ops.tri_kernel import closest_hit_packed
                 import jax
                 orig, dirn = generate_camera_rays(
                     jax.random.PRNGKey(0), camera, cfg)
-                *_, aabb_n, prim_n = closest_hit_tri_clusters(
-                    scene.tri_clusters, orig, dirn, cfg.t_min, cfg.t_max)
+                *_, plan = closest_hit_packed(
+                    scene.tri_table, orig, dirn, cfg.t_min, cfg.t_max)
                 R = orig.shape[0]
+                nb = max(R // 512, 1)
                 stats = {"tris": n_tris,
-                         "aabb_tests_per_ray": round(float(aabb_n) / R, 1),
-                         "prim_tests_per_ray": round(float(prim_n) / R, 1)}
+                         "sup_visits_per_block": round(
+                             float(plan.total) / nb, 1),
+                         "prim_tests_per_ray": round(
+                             float(plan.total) * 8 * 128 / R, 1)}
+            else:
+                scene = with_tri_clusters(scene)
         for wname, fn in [
             ("PT", lambda: render_path_traced(scene, camera, cfg)),
             ("SH", lambda: render_shadow_rays(scene, camera, cfg,

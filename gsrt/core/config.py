@@ -53,16 +53,26 @@ class RenderConfig:
     init_depth: float = 1e4   # k-buffer slot init (Scene.cpp:44 "10000.0")
 
     # --- tiling (perf path) ---
-    # image tiles are 8x128 pixels — one f32 VPU register — fixed by the
-    # Pallas kernel (gsrt/ops/splat_pallas.py TILE_H/TILE_W)
-    tile_w: int = 128
-    tile_h: int = 8
-    pair_chunk: int = 384       # pairs per kernel chunk (multiple of 128;
-                                # 384 best on v5e: less over-fetch than 256,
-                                # more VMEM headroom than 512)
+    # tile shapes select the blend kernel: pixel-count 1024 with tile_w 128
+    # -> the 8x128 register-tile kernel (splat_pallas); any other multiple
+    # of 128 px -> the subtile kernel (splat_subtile). 16x16 measured best
+    # on v5e at 1M/1080p (117.7 ms vs 122.4 at 128x8): pair inflation
+    # (4.19M vs 3.67M) costs less than the 4x per-pair blend savings.
+    tile_w: int = 16
+    tile_h: int = 16
+    pair_chunk: int = 128       # pairs per kernel chunk (multiple of 128;
+                                # subtile kernel wants 128; the 128x8 kernel
+                                # measured best at 384)
     expand_impl: Literal["pallas", "xla"] = "pallas"
                                 # pair expansion: Pallas barrel-shift kernel
                                 # (fast) or XLA jnp.repeat (fallback)
+    blend_impl: Literal["packed", "subtile"] = "packed"
+                                # subtile blend kernel for non-128x8 tiles:
+                                # "packed" streams globally-aligned 128-lane
+                                # chunks with MXU segment bookkeeping
+                                # (splat_packed); "subtile" = per-segment
+                                # chunk windows (splat_subtile)
+    blend_bs: int = 8           # subtiles per grid step in the packed kernel
     splat_chunk: int = 256      # splats per chunk in the brute-force paths
 
     # --- BVH ---

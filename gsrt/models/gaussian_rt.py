@@ -424,11 +424,19 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
             skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
-    else:
+    elif cfg.blend_impl == "subtile":
         from gsrt.ops.splat_subtile import blend_subtiles
         color, trans = blend_subtiles(
             binning, width=camera.width, height=camera.height,
             sub_w=tw, sub_h=th, chunk=cfg.pair_chunk,
+            g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
+            alpha_clamp=alpha_clamp, interpret=interpret,
+            skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
+    else:
+        from gsrt.ops.splat_packed import blend_packed
+        color, trans = blend_packed(
+            binning, width=camera.width, height=camera.height,
+            sub_w=tw, sub_h=th, bs=cfg.blend_bs,
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
             skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)

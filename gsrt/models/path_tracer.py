@@ -69,6 +69,10 @@ class PrimitiveScene(NamedTuple):
     # (gsrt.ops.clusters — the reference's BLAS role); built on demand with
     # `with_tri_clusters`, used by _closest_hit when present
     tri_clusters: Optional["TriClusters"] = None
+    # packed-cluster table for the Pallas traversal kernel
+    # (gsrt.ops.tri_kernel); built with `with_tri_table` and preferred over
+    # tri_clusters by _closest_hit — this is the TPU production path
+    tri_table: Optional["TriTable"] = None
 
     @property
     def counts(self):
@@ -121,6 +125,20 @@ def with_tri_clusters(scene: PrimitiveScene, k: int = 64,
     return scene._replace(tri_clusters=tc)
 
 
+def with_tri_table(scene: PrimitiveScene,
+                   min_tris: int = 256) -> PrimitiveScene:
+    """Attach the packed-cluster table driving the Pallas traversal kernel
+    (gsrt.ops.tri_kernel) — the TPU production acceleration structure.
+    Build ONCE per scene, outside jit (the reference's BLAS build,
+    lvp_acceleration_structure.c:1301)."""
+    from gsrt.ops.tri_kernel import build_tri_table
+    if scene.tri_v0.shape[0] < min_tris:
+        return scene          # brute force beats traversal for tiny meshes
+    tt = build_tri_table(scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                         scene.tri_mat)
+    return scene._replace(tri_table=tt)
+
+
 def _tri_uv(scene, i, u, v):
     """Interpolate per-corner texcoords at barycentric (u, v); sphere-UV
     stand-in when the mesh carries none."""
@@ -170,7 +188,34 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
         if best_uv is not None:
             best_uv = jnp.where(upd[:, None], sphere_uv(n), best_uv)
 
-    if scene.tri_clusters is not None:
+    if scene.tri_table is not None:
+        from gsrt.ops.tri_kernel import closest_hit_packed
+        tt = scene.tri_table
+        ti, slot, _, _ = closest_hit_packed(tt, orig, dirn, t_min, t_max)
+        i = tt.order[slot]
+        v0 = scene.tri_v0[i]
+        v1 = scene.tri_v1[i]
+        v2 = scene.tri_v2[i]
+        n = triangle_normal(v0, v1, v2)
+        n = jnp.where(jnp.sum(n * dirn, -1, keepdims=True) > 0, -n, n)
+        upd = ti < best_t
+        best_t = jnp.where(upd, ti, best_t)
+        best_n = jnp.where(upd[:, None], n, best_n)
+        best_m = jnp.where(upd, scene.tri_mat[i], best_m)
+        if best_uv is not None:
+            # re-derive barycentrics of each ray's winning triangle —
+            # elementwise [R] Möller-Trumbore (one triangle per ray)
+            e1 = v1 - v0
+            e2 = v2 - v0
+            pvec = jnp.cross(dirn, e2)
+            det = jnp.sum(e1 * pvec, -1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvec = orig - v0
+            u = jnp.sum(tvec * pvec, -1) * inv_det
+            v = jnp.sum(dirn * jnp.cross(tvec, e1), -1) * inv_det
+            best_uv = jnp.where(upd[:, None], _tri_uv(scene, i, u, v),
+                                best_uv)
+    elif scene.tri_clusters is not None:
         from gsrt.ops.clusters import closest_hit_tri_clusters
         tc = scene.tri_clusters
         ti, bc, bk, _, _, _ = closest_hit_tri_clusters(

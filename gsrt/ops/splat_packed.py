@@ -1,0 +1,304 @@
+"""Pallas TPU kernel: packed front-to-back splat blending (round-2 v3).
+
+Successor to gsrt.ops.splat_subtile. That kernel processed each subtile's
+pair segment in private chunks: every chunk DMA'd a (chunk+128)-lane
+window to absorb the segment's alignment offset and computed all lanes,
+so a 128-pair chunk paid for 256 lanes (~50% waste), and every segment
+rounded up to whole chunks (another ~25% at ~257 pairs/subtile).
+
+This kernel streams the pair payload in GLOBALLY 128-aligned chunks that
+ignore segment boundaries — every lane is a distinct live pair. The
+segment structure is reconstructed per chunk with arithmetic on the pair
+index and handled by small MXU matmuls instead of branches:
+
+  * per-lane subtile id s(lane) = #{k : pair_idx >= tile_start[t0+k]}
+    (bs-1 broadcast compares);
+  * a one-hot matrix O[k, lane] = (s == k) contracts (win, bs) carries to
+    per-lane values and per-lane sums back to per-subtile columns — tiny
+    (win x bs x 128) MXU passes;
+  * the exclusive cumulative product becomes a SEGMENTED Hillis-Steele
+    roll scan: each doubling step multiplies in the lane d to the left
+    only when that lane shares the segment id — 8 masked roll+multiply
+    steps over (win, 128), half the lane width (and ~half the cost) of
+    the subtile kernel's scan over its (chunk+128) window;
+  * per-segment chunk totals are the inclusive products at each segment's
+    last in-chunk lane, pulled into (win, bs) columns by a masked-sum
+    matmul (exactly one nonzero lane per present segment).
+
+(A first version did the whole scan as one (win,128)x(128,128) log-space
+matmul — elegant, but f32 matmuls need Precision.HIGHEST on the MXU
+(bf16 operand rounding produced 1e-3 blend errors) and the 6-pass cost
+measured SLOWER than the subtile kernel, 137.9 vs 117.7 ms/frame. The
+small one-hot contractions stay matmuls at HIGHEST: they are ~1% of the
+flops.)
+
+Dead lanes (alignment prefix before the group's first segment, tail after
+its last, binning's sentinel tail) have alpha = 0 so 1-alpha = 1 — inert
+in every product; no masking beyond the alpha gate is needed.
+
+The EWA response math and payload format are identical to splat_subtile,
+so oracle-parity tests carry over.
+
+Reference analogy: this is the rt_unit hot loop (shader.cc:2882-3290)
+with the warp-coalesced intersection table fully packed — no lane ever
+idles on another warp's slot.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsrt.ops.splat_pallas import _exp_neg_lut
+from gsrt.ops.tile_binning import (PACK_RANGE, PAYLOAD_WIDTH, TileBinning,
+                                   tile_extent)
+
+LANES = 128
+
+
+def _blend_packed_kernel(
+    # scalar prefetch
+    tile_start_ref,        # [T_pad + 1] int32 in SMEM
+    # inputs
+    payload_hbm,           # [PAYLOAD_WIDTH, MP + chunk + 128] in HBM
+    # outputs
+    color_ref,             # [3, BS, WIN] VMEM
+    trans_ref,             # [BS, WIN] VMEM
+    # scratch
+    buf,                   # [2, PAYLOAD_WIDTH, LANES] VMEM
+    sem,                   # DMA semaphores (2,)
+    *,
+    ntx: int, sub_w: int, sub_h: int, bs: int,
+    g_cutoff: float, alpha_threshold: float, alpha_clamp: float,
+    term_eps: float, skip_range_check: bool, use_exp_lut: bool,
+):
+    grp = pl.program_id(0)
+    t0 = grp * bs
+    win = sub_w * sub_h
+
+    start = tile_start_ref[t0]
+    end = tile_start_ref[t0 + bs]
+    astart = (start // LANES) * LANES          # aligned chunk origin
+    total_chunks = pl.cdiv(end - astart, LANES)
+
+    def dma(slot, j):
+        col = pl.multiple_of(astart + j * LANES, LANES)
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(col, LANES)], buf.at[slot],
+            sem.at[slot])
+
+    @pl.when(total_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    # constants hoisted out of the chunk loop
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+    xloc = (p_idx % sub_w).astype(jnp.float32)          # (win, 1)
+    yloc = (p_idx // sub_w).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
+    ones_lane = jnp.ones((1, LANES), jnp.float32)
+
+    inv_q = PACK_RANGE / 32767.0
+    # HIGHEST: the stack's default matmul precision is bf16, which rounds
+    # log-transmittance operands to 8-bit mantissas (~0.4% -> visible 1e-3
+    # blend error, found by the oracle-parity test). f32 passes cost ~6x on
+    # the MXU but these matmuls are a small slice of kernel time.
+    mm = functools.partial(jax.lax.dot_general,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    def dot(a, b):
+        return mm(a, b, (((a.ndim - 1,), (0,)), ((), ())))
+
+    def dot_lanes(a, b):
+        # contract the shared last (lane) axis — a @ b.T without the
+        # in-kernel transpose
+        return mm(a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())))
+
+    def body(state):
+        j, trans, r_acc, g_acc, b_acc = state
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < total_chunks)
+        def _():
+            dma(1 - slot, j + 1).start()
+
+        dma(slot, j).wait()
+
+        pidx = astart + j * LANES + lane               # (1, LANES)
+        # subtile of each lane (monotone over the chunk); lanes outside
+        # [start, end) resolve to 0 / bs-1 but are alpha-inert
+        s_lane = jnp.zeros((1, LANES), jnp.int32)
+        for k in range(1, bs):
+            s_lane += (pidx >= tile_start_ref[t0 + k]).astype(jnp.int32)
+        onehot = (krow == s_lane).astype(jnp.float32)  # (bs, LANES)
+
+        trans_lane = dot(trans, onehot)                # (win, LANES)
+
+        def blend(args):
+            trans, r_acc, g_acc, b_acc = args
+            pay = buf[slot]                            # (PAYLOAD, LANES)
+
+            t = t0 + s_lane
+            ox = ((t % ntx) * sub_w).astype(jnp.float32)   # (1, LANES)
+            oy = ((t // ntx) * sub_h).astype(jnp.float32)
+
+            mean_x = pay[0:1, :]
+            mean_y = pay[1:2, :]
+            qa = pay[2:3, :]
+            qb = pay[3:4, :]
+            qc = pay[4:5, :]
+            pay_i = pltpu.bitcast(pay, jnp.int32)
+            rg = pay_i[5:6, :]
+            bo = pay_i[6:7, :]
+            cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+            cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
+            cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+            op = (bo & 0x7FFF).astype(jnp.float32) * inv_q
+
+            dx = (xloc + ox) - mean_x                  # (win, LANES)
+            dy = (yloc + oy) - mean_y
+            gq = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy + qc * dy * dy)
+
+            live = (pidx >= start) & (pidx < end)
+            expf = _exp_neg_lut if use_exp_lut else lambda v: jnp.exp(-v)
+            if skip_range_check:
+                alpha = jnp.minimum(op * expf(gq), alpha_clamp)
+                accept = (alpha > alpha_threshold) & live
+            else:
+                in_range = (gq >= 0.0) & (gq <= g_cutoff)
+                alpha = op * expf(jnp.where(in_range, gq, 0.0))
+                alpha = jnp.minimum(alpha, alpha_clamp)
+                accept = in_range & (alpha > alpha_threshold) & live
+            alpha = jnp.where(accept, alpha, 0.0)
+
+            one_minus = 1.0 - alpha
+
+            # segmented exclusive cumprod: masked Hillis-Steele over the
+            # 128 lanes — lane q multiplies in lane q-d only when q-d
+            # shares its segment (subtile) id
+            def same_seg(d):
+                return (s_lane == pltpu.roll(s_lane, shift=d, axis=1)) & \
+                       (lane >= d)
+
+            excl = jnp.where(same_seg(1),
+                             pltpu.roll(one_minus, shift=1, axis=1), 1.0)
+            d = 1
+            while d < LANES:
+                excl = excl * jnp.where(same_seg(d),
+                                        pltpu.roll(excl, shift=d, axis=1),
+                                        1.0)
+                d *= 2
+
+            w = alpha * excl * trans_lane              # (win, LANES)
+
+            r_acc = r_acc + dot_lanes(w * cr, onehot)  # (win, bs)
+            g_acc = g_acc + dot_lanes(w * cg, onehot)
+            b_acc = b_acc + dot_lanes(w * cb, onehot)
+
+            # chunk totals: inclusive product at each segment's last
+            # in-chunk lane, pulled to columns by a masked-sum matmul
+            # (exactly one nonzero lane per present segment); absent
+            # segments multiply by 1
+            nxt = pltpu.roll(s_lane, shift=LANES - 1, axis=1)  # s[q+1]
+            last = (s_lane != nxt) | (lane == LANES - 1)       # (1, LANES)
+            onehot_last = onehot * last.astype(jnp.float32)
+            incl = excl * one_minus
+            seg_tot = dot_lanes(incl, onehot_last)             # (win, bs)
+            has = dot_lanes(ones_lane, onehot_last)            # (1, bs)
+            trans = trans * jnp.where(has > 0, seg_tot, 1.0)
+            return trans, r_acc, g_acc, b_acc
+
+        # skip the math once every subtile present in this chunk has
+        # saturated (front-to-back makes later chunks no-ops); the DMA
+        # stream keeps flowing so the pipeline stays intact
+        trans, r_acc, g_acc, b_acc = jax.lax.cond(
+            jnp.max(trans_lane) > term_eps, blend, lambda a: a,
+            (trans, r_acc, g_acc, b_acc))
+        return j + 1, trans, r_acc, g_acc, b_acc
+
+    def cond(state):
+        return state[0] < total_chunks
+
+    zero = jnp.zeros((win, bs), jnp.float32)
+    _, trans, r_acc, g_acc, b_acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero + 1.0, zero, zero, zero))
+
+    trans_ref[...] = trans.T
+    color_ref[0, :, :] = r_acc.T
+    color_ref[1, :, :] = g_acc.T
+    color_ref[2, :, :] = b_acc.T
+
+
+def blend_packed(
+    binning: TileBinning,
+    *,
+    width: int, height: int, sub_w: int = 16, sub_h: int = 16,
+    bs: int = 8, g_cutoff: float = 5.6,
+    alpha_threshold: float = 1.0 / 255.0, alpha_clamp: float = 0.99,
+    term_eps: float = 1e-4, interpret: bool = False,
+    skip_range_check: bool = False, use_exp_lut: bool = False,
+):
+    """Run the packed blend. `binning` must have been built with
+    tile_w=sub_w, tile_h=sub_h. Returns (color [H,W,3], trans [H,W])."""
+    win = sub_w * sub_h
+    assert win % 128 == 0, "subtile pixel count must be a multiple of 128"
+    assert bs % 8 == 0, "Mosaic output blocks need sublane dims % 8 == 0"
+    ntx, nty = tile_extent(width, height, sub_w, sub_h)
+    T = ntx * nty
+    t_pad = (-T) % bs
+    tile_start = binning.tile_start
+    if t_pad:
+        tile_start = jnp.concatenate(
+            [tile_start, jnp.broadcast_to(tile_start[-1:], (t_pad,))])
+    G = (T + t_pad) // bs
+
+    kernel = functools.partial(
+        _blend_packed_kernel,
+        ntx=ntx, sub_w=sub_w, sub_h=sub_h, bs=bs,
+        g_cutoff=g_cutoff, alpha_threshold=alpha_threshold,
+        alpha_clamp=alpha_clamp, term_eps=term_eps,
+        skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, bs, win), index_map=lambda g, ts: (0, g, 0)),
+            pl.BlockSpec((bs, win), index_map=lambda g, ts: (g, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PAYLOAD_WIDTH, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    color, trans = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, G * bs, win), jnp.float32),
+            jax.ShapeDtypeStruct((G * bs, win), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_start, binning.payload)
+
+    # subtile-major (T, WIN) -> framebuffer (H, W)
+    def unshuffle(a):
+        lead = a.shape[:-2]
+        a = a[..., :T, :].reshape(lead + (nty, ntx, sub_h, sub_w))
+        a = jnp.moveaxis(a, -2, -3)
+        return a.reshape(lead + (nty * sub_h, ntx * sub_w))[
+            ..., :height, :width]
+
+    color = jnp.transpose(unshuffle(color), (1, 2, 0))
+    return color, unshuffle(trans)

@@ -1,5 +1,6 @@
 """Subtile Pallas kernel (gsrt.ops.splat_subtile) vs the brute-force sorted
-path. Interpret mode on CPU (SURVEY.md §4 — simulator role). The subtile
+path. blend_impl is pinned to "subtile" — the packed successor kernel has
+its own suite (test_packed_kernel.py). Interpret mode on CPU (SURVEY.md §4 — simulator role). The subtile
 path must reproduce render_fast (itself oracle-validated), for several tile
 shapes including groups that span framebuffer row boundaries."""
 
@@ -25,7 +26,8 @@ def _cmp(cloud, camera, cfg, max_pairs):
 def test_subtile_matches_fast(tw, th):
     cloud, camera = random_cloud(150, seed=3, width=96, height=48)
     cfg = RenderConfig(width=96, height=48, conic_mode="standard",
-                       tile_w=tw, tile_h=th, pair_chunk=128)
+                       tile_w=tw, tile_h=th, pair_chunk=128,
+                       blend_impl="subtile")
     _cmp(cloud, camera, cfg, max_pairs=1 << 15)
 
 
@@ -40,7 +42,8 @@ def test_subtile_row_spanning_groups():
     threshold whose bbox-binned footprint misses one marginal tile.)"""
     cloud, camera = random_cloud(80, seed=7, width=48, height=64)
     cfg = RenderConfig(width=48, height=64, conic_mode="standard",
-                       tile_w=16, tile_h=16, pair_chunk=128)
+                       tile_w=16, tile_h=16, pair_chunk=128,
+                       blend_impl="subtile")
     b = render_tiled(cloud, camera, cfg, max_pairs=1 << 14, interpret=True)
     cfg_legacy = cfg.replace(tile_w=128, tile_h=8)
     c = render_tiled(cloud, camera, cfg_legacy, max_pairs=1 << 14,
@@ -54,7 +57,8 @@ def test_subtile_row_spanning_groups():
 def test_subtile_reference_conic_mode():
     cloud, camera = demo_gauss_splat(width=128, height=16)
     cfg = RenderConfig(width=128, height=16, conic_mode="reference",
-                       tile_w=16, tile_h=16, pair_chunk=128)
+                       tile_w=16, tile_h=16, pair_chunk=128,
+                       blend_impl="subtile")
     a = render_fast(cloud, camera, cfg)
     b = render_tiled(cloud, camera, cfg, max_pairs=1 << 12, interpret=True)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
@@ -72,7 +76,8 @@ def test_subtile_empty_tiles_background():
         opacity=jnp.array([0.9]), sh=jnp.zeros((1, 1, 3)))
     camera = make_camera(look_at((0, 0, 0), (0, 0, 1)), 90.0, 256, 24)
     cfg = RenderConfig(width=256, height=24, conic_mode="standard",
-                       tile_w=16, tile_h=16, pair_chunk=128)
+                       tile_w=16, tile_h=16, pair_chunk=128,
+                       blend_impl="subtile")
     out = render_tiled(cloud, camera, cfg, max_pairs=1 << 13, interpret=True)
     t = np.asarray(out.trans)
     assert np.isfinite(t).all()
