@@ -72,7 +72,10 @@ class RenderConfig:
                                 # chunks with MXU segment bookkeeping
                                 # (splat_packed); "subtile" = per-segment
                                 # chunk windows (splat_subtile)
-    blend_bs: int = 8           # subtiles per grid step in the packed kernel
+    blend_bs: int = 128         # subtiles per grid step in the packed
+                                # kernel; 128 matches the one-hot matmul's
+                                # native MXU width (smaller bs pads to 128
+                                # anyway) and amortizes grid-step overhead
     splat_chunk: int = 256      # splats per chunk in the brute-force paths
 
     # --- BVH ---

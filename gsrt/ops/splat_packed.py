@@ -11,8 +11,9 @@ ignore segment boundaries — every lane is a distinct live pair. The
 segment structure is reconstructed per chunk with arithmetic on the pair
 index and handled by small MXU matmuls instead of branches:
 
-  * per-lane subtile id s(lane) = #{k : pair_idx >= tile_start[t0+k]}
-    (bs-1 broadcast compares);
+  * each pair's tile id rides in payload row 7 (written by tile_binning;
+    it was a free pad row), so the kernel reads per-lane segment ids
+    directly — no per-chunk boundary compares;
   * a one-hot matrix O[k, lane] = (s == k) contracts (win, bs) carries to
     per-lane values and per-lane sums back to per-subtile columns — tiny
     (win x bs x 128) MXU passes;
@@ -29,8 +30,8 @@ index and handled by small MXU matmuls instead of branches:
 matmul — elegant, but f32 matmuls need Precision.HIGHEST on the MXU
 (bf16 operand rounding produced 1e-3 blend errors) and the 6-pass cost
 measured SLOWER than the subtile kernel, 137.9 vs 117.7 ms/frame. The
-small one-hot contractions stay matmuls at HIGHEST: they are ~1% of the
-flops.)
+surviving one-hot contractions instead use a 2-pass hi/lo bf16 split —
+see the comment at `_split` below.)
 
 Dead lanes (alignment prefix before the group's first segment, tail after
 its last, binning's sentinel tail) have alpha = 0 so 1-alpha = 1 — inert
@@ -75,6 +76,7 @@ def _blend_packed_kernel(
     ntx: int, sub_w: int, sub_h: int, bs: int,
     g_cutoff: float, alpha_threshold: float, alpha_clamp: float,
     term_eps: float, skip_range_check: bool, use_exp_lut: bool,
+    exact_dots: bool,
 ):
     grp = pl.program_id(0)
     t0 = grp * bs
@@ -104,21 +106,44 @@ def _blend_packed_kernel(
     ones_lane = jnp.ones((1, LANES), jnp.float32)
 
     inv_q = PACK_RANGE / 32767.0
-    # HIGHEST: the stack's default matmul precision is bf16, which rounds
-    # log-transmittance operands to 8-bit mantissas (~0.4% -> visible 1e-3
-    # blend error, found by the oracle-parity test). f32 passes cost ~6x on
-    # the MXU but these matmuls are a small slice of kernel time.
-    mm = functools.partial(jax.lax.dot_general,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    # Split-bf16 matmuls: the MXU rounds f32 operands to bf16 (~0.4%
+    # relative — a visible 1e-3 blend error, found by the oracle-parity
+    # test), and Precision.HIGHEST (6 passes) measured +37 ms/frame. A
+    # hi/lo bf16 split of the VALUE operand (the one-hot side is 0/1 —
+    # exact in bf16) restores ~2^-17 accuracy at 2 passes: the MXU
+    # accumulates bf16 products in f32. Pallas INTERPRET mode does not
+    # (it accumulates bf16 — measured 1e-2 error on a 128-term dot), so
+    # interpret runs plain f32 dots instead: CPU tests validate the
+    # kernel logic, the on-hardware parity check (tools/tpu_smoke.py)
+    # validates the split numerics.
+    # default precision bf16-rounds f32 operands even on CPU — exact mode
+    # must ask for HIGHEST explicitly
+    mm = functools.partial(
+        jax.lax.dot_general, preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if exact_dots
+                   else jax.lax.Precision.DEFAULT))
+    acc_dtype = jnp.float32 if exact_dots else jnp.bfloat16
 
-    def dot(a, b):
-        return mm(a, b, (((a.ndim - 1,), (0,)), ((), ())))
+    def _split(a):
+        if exact_dots:
+            return a, None
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
 
-    def dot_lanes(a, b):
-        # contract the shared last (lane) axis — a @ b.T without the
+    def _dot2(a, b16, d):
+        hi, lo = _split(a)
+        out = mm(hi, b16, d)
+        return out if lo is None else out + mm(lo, b16, d)
+
+    def dot_split(a, b16):
+        # contract a's last axis with b16's FIRST axis; b16 is 0/1
+        return _dot2(a, b16, (((a.ndim - 1,), (0,)), ((), ())))
+
+    def dot_lanes_split(a, b16):
+        # contract the shared last (lane) axis — a @ b16.T without the
         # in-kernel transpose
-        return mm(a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())))
+        return _dot2(a, b16, (((a.ndim - 1,), (b16.ndim - 1,)), ((), ())))
 
     def body(state):
         j, trans, r_acc, g_acc, b_acc = state
@@ -130,32 +155,31 @@ def _blend_packed_kernel(
 
         dma(slot, j).wait()
 
-        pidx = astart + j * LANES + lane               # (1, LANES)
-        # subtile of each lane (monotone over the chunk); lanes outside
-        # [start, end) resolve to 0 / bs-1 but are alpha-inert
-        s_lane = jnp.zeros((1, LANES), jnp.int32)
-        for k in range(1, bs):
-            s_lane += (pidx >= tile_start_ref[t0 + k]).astype(jnp.int32)
-        onehot = (krow == s_lane).astype(jnp.float32)  # (bs, LANES)
+        pay = buf[slot]                                # (PAYLOAD, LANES)
+        pay_i_all = pltpu.bitcast(pay, jnp.int32)
+        # each pair's tile id rides in payload row 7 (20 bits + bias bit;
+        # tile_binning). Lanes outside this group's [t0, t0+bs) window —
+        # the aligned prefix, the tail, dead sentinels (tile = T) — match
+        # no one-hot column and are inert everywhere below.
+        s_tile = pay_i_all[7:8, :] & 0xFFFFF           # (1, LANES)
+        s_local = s_tile - t0
+        onehot = (krow == s_local).astype(acc_dtype)   # (bs, LANES)
 
-        trans_lane = dot(trans, onehot)                # (win, LANES)
+        trans_lane = dot_split(trans, onehot)          # (win, LANES)
 
         def blend(args):
             trans, r_acc, g_acc, b_acc = args
-            pay = buf[slot]                            # (PAYLOAD, LANES)
 
-            t = t0 + s_lane
-            ox = ((t % ntx) * sub_w).astype(jnp.float32)   # (1, LANES)
-            oy = ((t // ntx) * sub_h).astype(jnp.float32)
+            ox = ((s_tile % ntx) * sub_w).astype(jnp.float32)  # (1, LANES)
+            oy = ((s_tile // ntx) * sub_h).astype(jnp.float32)
 
             mean_x = pay[0:1, :]
             mean_y = pay[1:2, :]
             qa = pay[2:3, :]
             qb = pay[3:4, :]
             qc = pay[4:5, :]
-            pay_i = pltpu.bitcast(pay, jnp.int32)
-            rg = pay_i[5:6, :]
-            bo = pay_i[6:7, :]
+            rg = pay_i_all[5:6, :]
+            bo = pay_i_all[6:7, :]
             cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
             cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
             cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
@@ -165,16 +189,17 @@ def _blend_packed_kernel(
             dy = (yloc + oy) - mean_y
             gq = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy + qc * dy * dy)
 
-            live = (pidx >= start) & (pidx < end)
+            # no liveness mask: out-of-group lanes match no one-hot column,
+            # so their (real) alphas never touch a carry
             expf = _exp_neg_lut if use_exp_lut else lambda v: jnp.exp(-v)
             if skip_range_check:
                 alpha = jnp.minimum(op * expf(gq), alpha_clamp)
-                accept = (alpha > alpha_threshold) & live
+                accept = alpha > alpha_threshold
             else:
                 in_range = (gq >= 0.0) & (gq <= g_cutoff)
                 alpha = op * expf(jnp.where(in_range, gq, 0.0))
                 alpha = jnp.minimum(alpha, alpha_clamp)
-                accept = in_range & (alpha > alpha_threshold) & live
+                accept = in_range & (alpha > alpha_threshold)
             alpha = jnp.where(accept, alpha, 0.0)
 
             one_minus = 1.0 - alpha
@@ -183,7 +208,7 @@ def _blend_packed_kernel(
             # 128 lanes — lane q multiplies in lane q-d only when q-d
             # shares its segment (subtile) id
             def same_seg(d):
-                return (s_lane == pltpu.roll(s_lane, shift=d, axis=1)) & \
+                return (s_tile == pltpu.roll(s_tile, shift=d, axis=1)) & \
                        (lane >= d)
 
             excl = jnp.where(same_seg(1),
@@ -197,20 +222,23 @@ def _blend_packed_kernel(
 
             w = alpha * excl * trans_lane              # (win, LANES)
 
-            r_acc = r_acc + dot_lanes(w * cr, onehot)  # (win, bs)
-            g_acc = g_acc + dot_lanes(w * cg, onehot)
-            b_acc = b_acc + dot_lanes(w * cb, onehot)
+            rgb = jnp.concatenate([w * cr, w * cg, w * cb], axis=0)
+            rgb_cols = dot_lanes_split(rgb, onehot)    # (3*win, bs)
+            r_acc = r_acc + rgb_cols[:win]
+            g_acc = g_acc + rgb_cols[win:2 * win]
+            b_acc = b_acc + rgb_cols[2 * win:]
 
             # chunk totals: inclusive product at each segment's last
             # in-chunk lane, pulled to columns by a masked-sum matmul
             # (exactly one nonzero lane per present segment); absent
             # segments multiply by 1
-            nxt = pltpu.roll(s_lane, shift=LANES - 1, axis=1)  # s[q+1]
-            last = (s_lane != nxt) | (lane == LANES - 1)       # (1, LANES)
-            onehot_last = onehot * last.astype(jnp.float32)
-            incl = excl * one_minus
-            seg_tot = dot_lanes(incl, onehot_last)             # (win, bs)
-            has = dot_lanes(ones_lane, onehot_last)            # (1, bs)
+            nxt = pltpu.roll(s_tile, shift=LANES - 1, axis=1)  # s[q+1]
+            last = (s_tile != nxt) | (lane == LANES - 1)       # (1, LANES)
+            onehot_last = onehot * last.astype(acc_dtype)
+            incl = jnp.concatenate([excl * one_minus, ones_lane], axis=0)
+            cols = dot_lanes_split(incl, onehot_last)          # (win+1, bs)
+            seg_tot = cols[:win]
+            has = cols[win:]                                   # (1, bs)
             trans = trans * jnp.where(has > 0, seg_tot, 1.0)
             return trans, r_acc, g_acc, b_acc
 
@@ -264,6 +292,7 @@ def blend_packed(
         g_cutoff=g_cutoff, alpha_threshold=alpha_threshold,
         alpha_clamp=alpha_clamp, term_eps=term_eps,
         skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
+        exact_dots=interpret,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

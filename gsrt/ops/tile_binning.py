@@ -268,13 +268,28 @@ def build_tile_binning(
         extra[0] = jax.lax.bitcast_convert_type(
             jnp.where(dead, max_pairs, idp_s).astype(jnp.int32),
             jnp.float32)
+    else:
+        # row 7: the pair's tile id (20 bits; dead pairs keep the sentinel
+        # T, which falls outside every kernel group's [t0, t0+bs) window).
+        # Bit 30 keeps the word a normal float — TPU select paths flush
+        # denormals (see pack15)
+        extra[0] = jax.lax.bitcast_convert_type(
+            jnp.minimum(tile_s, T) | _PACK_BIAS, jnp.float32)
     payload = jnp.stack(list(feats) + extra, axis=0)  # [PAYLOAD_WIDTH, MP]
+    # dead pairs: zero the feature rows but KEEP row 7 (pair id / sentinel
+    # tile id — a zeroed tile-id word would alias tile 0 of group 0)
     payload = jnp.where(dead[None, :],
                         jnp.where(jnp.arange(PAYLOAD_WIDTH)[:, None]
                                   == N_FEATURES,
-                                  payload, 0.0) if with_ids else 0.0,
+                                  payload, 0.0),
                         payload)
-    payload = jnp.pad(payload, ((0, 0), (0, pad)))
+    # the aligned-overfetch tail needs the same row-7 sentinel as dead pairs
+    tail_id = jnp.int32(max_pairs if with_ids else (T | _PACK_BIAS))
+    tail = jnp.where(jnp.arange(PAYLOAD_WIDTH)[:, None] == N_FEATURES,
+                     jax.lax.bitcast_convert_type(
+                         jnp.full((1, pad), tail_id), jnp.float32),
+                     jnp.zeros((PAYLOAD_WIDTH, pad), jnp.float32))
+    payload = jnp.concatenate([payload, tail], axis=1)
 
     return TileBinning(
         payload=payload,
