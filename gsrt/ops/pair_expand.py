@@ -135,13 +135,16 @@ def _merge_rank(base: jnp.ndarray, mp: int, n: int) -> jnp.ndarray:
     p1 = jax.lax.sort(packed, is_stable=False)   # packed keys are distinct
     is_query = p1 & 1
     ranks = jnp.maximum(jnp.cumsum(1 - is_query) - 1, 0)
+    # unstable is safe: splat words are distinct (ranks strictly increase at
+    # splat slots) and tied QUERY words are bit-identical (flag 0, equal
+    # rank), so any tie order yields the same output array
     packed2 = ((1 - is_query) << 30) | ranks     # splats flagged to the top
-    p2 = jax.lax.sort(packed2, is_stable=True)
+    p2 = jax.lax.sort(packed2, is_stable=False)
     return jnp.clip(p2[:mp] & ((1 << 30) - 1), 0, n - 1).astype(jnp.int32)
 
 
 def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
-                 *, chunk: int = 4096, interpret: bool = False) -> jnp.ndarray:
+                 *, chunk: int = 16384, interpret: bool = False) -> jnp.ndarray:
     """Expand a depth-sorted splat table to the pair table.
 
     tabf: [TAB_ROWS, N] f32, feature-major; row 3 must hold the splat's
@@ -156,8 +159,9 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
 
     chunk: output pairs per grid step. Large chunks amortize the ~10 us
     per-step Mosaic overhead (512-pair chunks measured 71 ms at 3.7M pairs
-    — SLOWER than the XLA repeat; 4096 amortizes it 8x) and cost only
-    ~1.3 MB of double-buffered VMEM.
+    — SLOWER than the XLA repeat; 4096 still paid ~10 ms of pure grid
+    overhead at 4.19M pairs). 16384 costs ~3.2 MB of double-buffered VMEM,
+    well under the 16 MB scoped limit.
     """
     assert chunk % 128 == 0
     chunk = min(chunk, max(128, (max_pairs // 128) * 128))
