@@ -257,6 +257,111 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_orbit(args) -> int:
+    """Offline camera-path rendering with temporal-reuse serving — the
+    headless analogue of the reference's interactive orbit
+    (ModelViewController.cpp) plus the frame-coherent cull gsrt adds on
+    top (gsrt.serving)."""
+    import os
+
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.gaussian_rt import GaussianRayTracer
+    from gsrt.scene.campath import orbit_path
+    from gsrt.scene.catalog import demo_gauss_splat, random_cloud
+    from gsrt.serving import ServingRenderer
+    from gsrt.utils.image import save_png
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       conic_mode="standard", use_exp_lut=args.exp_lut)
+    if args.ply:
+        from gsrt.scene.ply import load_gaussian_ply
+        cloud = load_gaussian_ply(args.ply)
+        center = np.asarray(cloud.means).mean(0)
+        radius = args.radius or float(
+            np.abs(np.asarray(cloud.means) - center).max() * 1.5 + 1)
+    elif args.scene.startswith("random"):
+        n = int(args.scene[len("random"):] or "100000")
+        # bench.py's headline scene parameters (~4-8 px footprints) so
+        # orbit throughput is comparable with `cli bench` / bench.py
+        cloud, cam0 = random_cloud(n, width=args.width, height=args.height,
+                                   scale_range=(0.004, 0.03))
+        center = np.asarray(cloud.means).mean(0)
+        radius = args.radius or float(np.linalg.norm(
+            np.asarray(cam0.position) - center))
+    else:
+        cloud, cam0 = demo_gauss_splat(args.width, args.height)
+        center = np.asarray(cloud.means).mean(0)
+        radius = args.radius or float(np.linalg.norm(
+            np.asarray(cam0.position) - center))
+
+    cams = orbit_path(center, radius, args.frames, height=args.elev,
+                      fov_y_deg=args.fov, width=args.width,
+                      height_px=args.height, degrees=args.degrees)
+
+    import jax
+    interp = jax.default_backend() == "cpu"   # Pallas kernels: interpret
+    if args.no_serving:
+        rt = GaussianRayTracer(cfg, mode="tiled", interpret=interp,
+                               defer_overflow=4)
+        render = lambda cam: rt(cloud, cam)
+        stats = None
+    else:
+        srv = ServingRenderer(cfg, margin=args.margin, strict=args.strict,
+                              interpret=interp)
+        render = lambda cam: srv(cloud, cam)
+        stats = srv.stats
+
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    frame_ms = []
+    inflight: list = []   # (index, out) — sync `depth` frames behind so
+    depth = 4             # dispatch overlaps the axon tunnel round-trip
+    t0 = time.perf_counter()
+    for i, cam in enumerate(cams):
+        t1 = time.perf_counter()
+        out = render(cam)
+        inflight.append((i, out))
+        if len(inflight) >= depth:
+            j, old = inflight.pop(0)
+            if args.out_dir:
+                save_png(os.path.join(args.out_dir, f"frame_{j:04d}.png"),
+                         np.asarray(old.color))
+            else:
+                jax.block_until_ready(old.trans)  # sync, no host transfer
+        frame_ms.append((time.perf_counter() - t1) * 1e3)
+    for j, old in inflight:
+        if args.out_dir:
+            save_png(os.path.join(args.out_dir, f"frame_{j:04d}.png"),
+                     np.asarray(old.color))
+        else:
+            jax.block_until_ready(old.trans)
+    if stats is not None:
+        srv.finish()
+    wall = time.perf_counter() - t0
+    rays = args.width * args.height * len(cams)
+    # early frames carry jit compiles (+ serving's shrink re-bucketing
+    # compiles); steady-state = the last half of the path
+    tail = frame_ms[len(frame_ms) // 2:] or frame_ms
+    rec = dict(frames=len(cams), wall_s=round(wall, 3),
+               ms_per_frame=round(wall / len(cams) * 1e3, 2),
+               steady_ms=round(sum(tail) / len(tail), 2),
+               mrays_per_s=round(rays / wall / 1e6, 2),
+               steady_mrays_per_s=round(
+                   args.width * args.height / (sum(tail) / len(tail)) / 1e3,
+                   2),
+               serving=not args.no_serving)
+    if stats:
+        rec["violations"] = sum(f["violations"] for f in stats)
+        rec["full_renders"] = sum(f["full_renders"] for f in stats)
+        rec["pairs_first"] = stats[0]["pairs"]
+        rec["pairs_last"] = stats[-1]["pairs"]
+    print(json.dumps(rec))
+    if args.stats_out and stats:
+        with open(args.stats_out, "w") as f:
+            json.dump(stats, f)
+    return 0
+
+
 def cmd_compare(args) -> int:
     """PSNR/SSIM between two images (the north-star parity check)."""
     from gsrt.utils.image import load_png, psnr, ssim
@@ -366,6 +471,26 @@ def main(argv=None) -> int:
     p.add_argument("--max-files", type=int, default=None,
                    help="cap OBJ count per directory scene")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("orbit", help="camera-path serving (orbit video)")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--scene", type=str, default="random1000000")
+    p.add_argument("--ply", type=str, default=None)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--degrees", type=float, default=90.0)
+    p.add_argument("--radius", type=float, default=None)
+    p.add_argument("--elev", type=float, default=0.0)
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--margin", type=float, default=1.5)
+    p.add_argument("--strict", action="store_true",
+                   help="re-render frames the cull degraded")
+    p.add_argument("--no-serving", action="store_true",
+                   help="plain per-frame rendering (baseline)")
+    p.add_argument("--exp-lut", action="store_true")
+    p.add_argument("--out-dir", type=str, default=None)
+    p.add_argument("--stats-out", type=str, default=None)
+    p.set_defaults(fn=cmd_orbit)
 
     p = sub.add_parser("compare", help="PSNR/SSIM between two PNGs")
     p.add_argument("a")

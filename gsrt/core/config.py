@@ -77,6 +77,10 @@ class RenderConfig:
                                 # native MXU width (smaller bs pads to 128
                                 # anyway) and amortizes grid-step overhead
     splat_chunk: int = 256      # splats per chunk in the brute-force paths
+    serving_super: int = 8      # tiles per supertile side for the serving
+                                # cutoff coarsening (gsrt.serving): smaller
+                                # = finer cull granularity, larger = cheaper
+                                # per-splat lookup tables
 
     # --- BVH ---
     bvh_branching: int = 8      # wide nodes (reference packs 6-wide GEN_RT nodes)

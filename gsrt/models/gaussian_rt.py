@@ -360,9 +360,21 @@ def render_fast(cloud: GaussianCloud, camera: Camera,
                         depth=dacc.reshape(H, W) if with_depth else None)
 
 
+class ServingAux(NamedTuple):
+    """Per-frame feedback the temporal-reuse serving loop consumes
+    (gsrt.serving). Raw kernel/binning outputs; the cutoff-map update
+    lives in serving.update_cutoff_map."""
+    tile_start: jnp.ndarray   # [T + 1] int32 pair offsets
+    tile_count: jnp.ndarray   # [T] int32 pairs per tile (culled stream)
+    pair_depth: jnp.ndarray   # [MP] f32 camera depth per sorted pair
+    consumed: jnp.ndarray     # [G, bs] int32 first saturated chunk index
+                              # (== group chunk count when never saturated)
+
+
 def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
                  max_pairs: int = 1 << 20,
-                 interpret: bool = False) -> RenderOutput:
+                 interpret: bool = False, cutoff_map=None,
+                 serving: bool = False) -> RenderOutput:
     """Tile-binned splatting — the performance path (SURVEY.md §7.3 steps 4-6).
 
     Projects all splats, bins their footprints to cfg.tile_w x cfg.tile_h
@@ -397,12 +409,17 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
 
     tw, th = cfg.tile_w, cfg.tile_h
 
+    if serving:
+        assert cfg.blend_impl == "packed" and (tw, th) != (128, 8), \
+            "serving mode requires the packed blend kernel"
     binning = build_tile_binning(
         depth, m2x, m2y, qa, qb, qc, fm.opacity, cr, cg, cb, rx, ry, alive,
         width=camera.width, height=camera.height,
         tile_w=tw, tile_h=th,
         chunk=cfg.pair_chunk, max_pairs=max_pairs,
-        expand_impl=cfg.expand_impl, interpret=interpret)
+        expand_impl=cfg.expand_impl, interpret=interpret,
+        cutoff_map=cutoff_map, carry_depth=serving,
+        cull_super=cfg.serving_super)
     # Materialize binning outputs before the Pallas call: fusing XLA ops
     # into the kernel's operands produced wrong layouts/garbage reads on
     # the TPU backend (kernel verified correct on materialized inputs).
@@ -434,12 +451,17 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
             skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
     else:
         from gsrt.ops.splat_packed import blend_packed
-        color, trans = blend_packed(
+        res = blend_packed(
             binning, width=camera.width, height=camera.height,
             sub_w=tw, sub_h=th, bs=cfg.blend_bs,
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
-            skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
+            skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut,
+            track_consumed=serving)
+        if serving:
+            color, trans, consumed = res
+        else:
+            color, trans = res
 
     if cfg.white_background:
         color = color + trans[..., None]
@@ -451,9 +473,15 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     nty = -(-H // th)
     tile_hits = binning.tile_count.reshape(nty, ntx)
     hits = jnp.repeat(jnp.repeat(tile_hits, th, 0), tw, 1)[:H, :W]
-    return RenderOutput(trans=trans, color=color,
-                        passes=-(-hits // cfg.k), hits=hits,
-                        overflow=binning.overflow)
+    out = RenderOutput(trans=trans, color=color,
+                       passes=-(-hits // cfg.k), hits=hits,
+                       overflow=binning.overflow)
+    if serving:
+        return out, ServingAux(tile_start=binning.tile_start,
+                               tile_count=binning.tile_count,
+                               pair_depth=binning.pair_depth,
+                               consumed=consumed)
+    return out
 
 
 def trace_gaussian_rays(cloud: GaussianCloud, origins, dirs,
@@ -640,6 +668,18 @@ def count_pairs_numpy(cloud: GaussianCloud, camera: Camera,
     return int(touched.sum())
 
 
+def pair_bucket(need: int) -> int:
+    """Round a pair count up to a (k/8)·2^j bucket (≤12.5% slack), then to
+    the 128-lane chunk grid. Every binning stage scales with the STATIC
+    buffer size, so loose buckets directly cost frame time; pow-2-ish
+    bucketing keeps recompiles rare under camera motion."""
+    need = max(1 << 14, need)
+    p = 1 << (need - 1).bit_length()
+    step = max(p // 8, 128)
+    mp = -(-need // step) * step
+    return -(-mp // 128) * 128
+
+
 class GaussianRayTracer:
     """Convenience wrapper choosing the execution path and jitting it.
 
@@ -650,11 +690,20 @@ class GaussianRayTracer:
     """
 
     def __init__(self, cfg: RenderConfig, mode: str = "fast",
-                 max_pairs: Optional[int] = None, interpret: bool = False):
+                 max_pairs: Optional[int] = None, interpret: bool = False,
+                 defer_overflow: int = 0):
         self.cfg = cfg
         self.mode = mode
         self.max_pairs = max_pairs
         self.interpret = interpret  # run the Pallas kernel interpreted (CPU)
+        # defer_overflow=N>0: check frame i's overflow flag at frame i+N
+        # instead of synchronously — keeps N frames in flight (the sync
+        # read costs a ~30 ms tunnel round-trip per frame on axon). An
+        # overflowing frame is then served truncated and the buffer
+        # re-buckets up to N frames late; use 0 (sync re-render) when
+        # every frame must be exact.
+        self.defer_overflow = defer_overflow
+        self._overflow_pending: list = []
         self._count = jax.jit(functools.partial(count_pairs, cfg=cfg))
         self._tiled_cache: dict[int, callable] = {}
         self._fm_src = None        # cloud object the cached FMCloud mirrors
@@ -678,20 +727,9 @@ class GaussianRayTracer:
         # render program fail with InvalidArgument on the axon TPU runtime,
         # so sizing must not go through jax at all.
         total = int(count_pairs_numpy(cloud, camera, self.cfg))
-        # every binning stage (sorts, expand, blend dead-lanes) scales with
-        # the STATIC buffer size; 10% slack + overflow re-render (below)
-        # beats fat safety margins
-        need = max(1 << 14, int(total * 1.1))
-        # (k/8)·2^j buckets: ≤12.5% bucket slack (the pair sort is the
-        # single most expensive stage — it scales with the STATIC buffer
-        # size, so loose buckets directly cost frame time)
-        p = 1 << (need - 1).bit_length()
-        step = max(p // 8, 128)
-        mp = -(-need // step) * step
-        # binning rounds slots to the 128-lane chunk grid
-        mp = -(-mp // 128) * 128
-        self.max_pairs = mp
-        return mp
+        # 10% slack + overflow re-render (below) beats fat safety margins
+        self.max_pairs = pair_bucket(int(total * 1.1))
+        return self.max_pairs
 
     def __call__(self, cloud: GaussianCloud, camera: Camera) -> RenderOutput:
         if self.mode != "tiled":
@@ -706,7 +744,15 @@ class GaussianRayTracer:
         out = self._tiled_fn(self.max_pairs)(self._fm, camera)
         # a frame past the calibration slack (camera zoom, scene growth)
         # silently truncates the farthest pairs — re-calibrate and re-render
-        if out.overflow is not None and bool(out.overflow):
+        # (or, with defer_overflow, re-calibrate a few frames late)
+        if self.defer_overflow > 0:
+            self._overflow_pending.append(out.overflow)
+            if len(self._overflow_pending) >= self.defer_overflow:
+                if bool(self._overflow_pending.pop(0)):
+                    self.calibrate(cloud, camera)
+                    out = self._tiled_fn(self.max_pairs)(self._fm, camera)
+                    self._overflow_pending.clear()
+        elif out.overflow is not None and bool(out.overflow):
             self.calibrate(cloud, camera)
             out = self._tiled_fn(self.max_pairs)(self._fm, camera)
         return out

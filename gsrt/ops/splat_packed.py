@@ -69,15 +69,18 @@ def _blend_packed_kernel(
     # outputs
     color_ref,             # [3, BS, WIN] VMEM
     trans_ref,             # [BS, WIN] VMEM
-    # scratch
-    buf,                   # [2, PAYLOAD_WIDTH, LANES] VMEM
-    sem,                   # DMA semaphores (2,)
-    *,
+    *rest,                 # track_consumed: consumed_ref [1, 8, BS] VMEM
+                           # int32, then scratch; else just scratch
     ntx: int, sub_w: int, sub_h: int, bs: int,
     g_cutoff: float, alpha_threshold: float, alpha_clamp: float,
     term_eps: float, skip_range_check: bool, use_exp_lut: bool,
-    exact_dots: bool,
+    exact_dots: bool, track_consumed: bool = False, ablate: str = "",
 ):
+    if track_consumed:
+        consumed_ref, buf, sem = rest
+    else:
+        consumed_ref = None
+        buf, sem = rest
     grp = pl.program_id(0)
     t0 = grp * bs
     win = sub_w * sub_h
@@ -146,8 +149,22 @@ def _blend_packed_kernel(
         return _dot2(a, b16, (((a.ndim - 1,), (b16.ndim - 1,)), ((), ())))
 
     def body(state):
-        j, trans, r_acc, g_acc, b_acc = state
+        if track_consumed:
+            j, trans, r_acc, g_acc, b_acc, sat = state
+        else:
+            j, trans, r_acc, g_acc, b_acc = state
         slot = jax.lax.rem(j, 2)
+
+        if track_consumed:
+            # record, per tile column, the first chunk index at whose START
+            # the whole subtile was already saturated: pairs before chunk
+            # `sat` sufficed (position bound astart + sat*LANES, <=128 over).
+            # trans is monotone non-increasing, so that index equals the
+            # COUNT of still-unsaturated chunk starts — a plain add; a
+            # scalar-j select against the lane vector is an invalid Mosaic
+            # relayout (replicated destination) on real TPU
+            colmax = jnp.max(trans, axis=0, keepdims=True)    # (1, bs)
+            sat = sat + (colmax >= term_eps).astype(jnp.int32)
 
         @pl.when(j + 1 < total_chunks)
         def _():
@@ -156,6 +173,10 @@ def _blend_packed_kernel(
         dma(slot, j).wait()
 
         pay = buf[slot]                                # (PAYLOAD, LANES)
+        if ablate == "dmaonly":
+            # consume the buffer so the DMA is not dead-code-eliminated
+            return (j + 1, trans + 1e-30 * jnp.sum(pay), r_acc, g_acc,
+                    b_acc) + ((sat,) if track_consumed else ())
         pay_i_all = pltpu.bitcast(pay, jnp.int32)
         # each pair's tile id rides in payload row 7 (20 bits + bias bit;
         # tile_binning). Lanes outside this group's [t0, t0+bs) window —
@@ -165,7 +186,10 @@ def _blend_packed_kernel(
         s_local = s_tile - t0
         onehot = (krow == s_local).astype(acc_dtype)   # (bs, LANES)
 
-        trans_lane = dot_split(trans, onehot)          # (win, LANES)
+        if ablate == "nodots":
+            trans_lane = trans[:, :LANES] * 1.0
+        else:
+            trans_lane = dot_split(trans, onehot)      # (win, LANES)
 
         def blend(args):
             trans, r_acc, g_acc, b_acc = args
@@ -188,6 +212,8 @@ def _blend_packed_kernel(
             dx = (xloc + ox) - mean_x                  # (win, LANES)
             dy = (yloc + oy) - mean_y
             gq = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy + qc * dy * dy)
+            if ablate == "noewa":
+                gq = dx + dy                           # keep shape, skip math
 
             # no liveness mask: out-of-group lanes match no one-hot column,
             # so their (real) alphas never touch a carry
@@ -211,17 +237,25 @@ def _blend_packed_kernel(
                 return (s_tile == pltpu.roll(s_tile, shift=d, axis=1)) & \
                        (lane >= d)
 
-            excl = jnp.where(same_seg(1),
-                             pltpu.roll(one_minus, shift=1, axis=1), 1.0)
-            d = 1
-            while d < LANES:
-                excl = excl * jnp.where(same_seg(d),
-                                        pltpu.roll(excl, shift=d, axis=1),
-                                        1.0)
-                d *= 2
+            if ablate == "noscan":
+                excl = one_minus
+            else:
+                excl = jnp.where(same_seg(1),
+                                 pltpu.roll(one_minus, shift=1, axis=1), 1.0)
+                d = 1
+                while d < LANES:
+                    excl = excl * jnp.where(
+                        same_seg(d), pltpu.roll(excl, shift=d, axis=1), 1.0)
+                    d *= 2
 
             w = alpha * excl * trans_lane              # (win, LANES)
 
+            if ablate == "nodots":
+                r_acc = r_acc + 1e-30 * jnp.sum(w * cr)
+                g_acc = g_acc + 1e-30 * jnp.sum(w * cg)
+                b_acc = b_acc + 1e-30 * jnp.sum(w * cb)
+                trans = trans * (1.0 - 1e-30 * jnp.sum(one_minus))
+                return trans, r_acc, g_acc, b_acc
             rgb = jnp.concatenate([w * cr, w * cg, w * cb], axis=0)
             rgb_cols = dot_lanes_split(rgb, onehot)    # (3*win, bs)
             r_acc = r_acc + rgb_cols[:win]
@@ -248,14 +282,27 @@ def _blend_packed_kernel(
         trans, r_acc, g_acc, b_acc = jax.lax.cond(
             jnp.max(trans_lane) > term_eps, blend, lambda a: a,
             (trans, r_acc, g_acc, b_acc))
+        if track_consumed:
+            return j + 1, trans, r_acc, g_acc, b_acc, sat
         return j + 1, trans, r_acc, g_acc, b_acc
 
     def cond(state):
         return state[0] < total_chunks
 
     zero = jnp.zeros((win, bs), jnp.float32)
-    _, trans, r_acc, g_acc, b_acc = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zero + 1.0, zero, zero, zero))
+    init = (jnp.int32(0), zero + 1.0, zero, zero, zero)
+    if track_consumed:
+        # iota-derived zeros: a constant init takes a lane-REPLICATED
+        # Mosaic layout, and the loop body's lane-distributed update can
+        # never relayout back to it (Invalid relayout on real TPU); >>31
+        # of the non-negative iota is 0 everywhere but not const-folded
+        sat0 = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1) >> 31
+        init = init + (sat0,)
+        _, trans, r_acc, g_acc, b_acc, sat = jax.lax.while_loop(
+            cond, body, init)
+        consumed_ref[0] = jnp.broadcast_to(sat, (8, bs))
+    else:
+        _, trans, r_acc, g_acc, b_acc = jax.lax.while_loop(cond, body, init)
 
     trans_ref[...] = trans.T
     color_ref[0, :, :] = r_acc.T
@@ -271,9 +318,18 @@ def blend_packed(
     alpha_threshold: float = 1.0 / 255.0, alpha_clamp: float = 0.99,
     term_eps: float = 1e-4, interpret: bool = False,
     skip_range_check: bool = False, use_exp_lut: bool = False,
+    track_consumed: bool = False, ablate: str = "",
 ):
     """Run the packed blend. `binning` must have been built with
-    tile_w=sub_w, tile_h=sub_h. Returns (color [H,W,3], trans [H,W])."""
+    tile_w=sub_w, tile_h=sub_h. Returns (color [H,W,3], trans [H,W]), plus
+    — when track_consumed — a raw [G, bs] int32 map of the first chunk
+    index at which each tile column was saturated (== the group's chunk
+    count when it never saturated; position bound = group_aligned_start +
+    sat*128, the serving cutoff feedback).
+
+    ablate ("", "noscan", "noewa", "nodots", "dmaonly") disables kernel
+    stages for perf ablation (tools/blend_ablation.py) — output is WRONG
+    in any non-"" mode; "nodots" additionally assumes bs == 128."""
     win = sub_w * sub_h
     assert win % 128 == 0, "subtile pixel count must be a multiple of 128"
     assert bs % 8 == 0, "Mosaic output blocks need sublane dims % 8 == 0"
@@ -292,8 +348,24 @@ def blend_packed(
         g_cutoff=g_cutoff, alpha_threshold=alpha_threshold,
         alpha_clamp=alpha_clamp, term_eps=term_eps,
         skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
-        exact_dots=interpret,
+        exact_dots=interpret, track_consumed=track_consumed, ablate=ablate,
     )
+
+    out_specs = [
+        pl.BlockSpec((3, bs, win), index_map=lambda g, ts: (0, g, 0)),
+        pl.BlockSpec((bs, win), index_map=lambda g, ts: (g, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, G * bs, win), jnp.float32),
+        jax.ShapeDtypeStruct((G * bs, win), jnp.float32),
+    ]
+    if track_consumed:
+        # (8, bs) per-group block: Mosaic requires the last two block dims
+        # be (8, 128)-divisible, so the (1, bs) row pads to a full sublane
+        # tile (broadcast-written; row 0 read back below)
+        out_specs.append(pl.BlockSpec((1, 8, bs),
+                                      index_map=lambda g, ts: (g, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((G, 8, bs), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -301,25 +373,21 @@ def blend_packed(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[
-            pl.BlockSpec((3, bs, win), index_map=lambda g, ts: (0, g, 0)),
-            pl.BlockSpec((bs, win), index_map=lambda g, ts: (g, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, PAYLOAD_WIDTH, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    color, trans = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((3, G * bs, win), jnp.float32),
-            jax.ShapeDtypeStruct((G * bs, win), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(tile_start, binning.payload)
+    color, trans = outs[0], outs[1]
+    consumed = outs[2][:, 0, :] if track_consumed else None
 
     # subtile-major (T, WIN) -> framebuffer (H, W)
     def unshuffle(a):
@@ -330,4 +398,6 @@ def blend_packed(
             ..., :height, :width]
 
     color = jnp.transpose(unshuffle(color), (1, 2, 0))
+    if track_consumed:
+        return color, unshuffle(trans), consumed
     return color, unshuffle(trans)

@@ -72,6 +72,9 @@ class TileBinning(NamedTuple):
     tile_count: jnp.ndarray   # [T] int32 pairs per tile
     total_pairs: jnp.ndarray  # [] int32 pairs before capping
     overflow: jnp.ndarray     # [] bool — total_pairs exceeded max_pairs
+    pair_depth: jnp.ndarray = None  # [max_pairs] f32 camera depth per pair,
+                                    # (tile, depth)-ordered (carry_depth=True
+                                    # only; the serving cutoff feedback)
     # --- set only when built with with_ids=True (the differentiable path;
     # used to route per-pair gradients back to splats) ---
     sorted_base: jnp.ndarray = None     # [N] int32 first-pair offset per
@@ -103,6 +106,76 @@ def compute_tile_spans(cx, cy, rx, ry, alive, width, height, tile_w, tile_h):
     alive = alive & on_screen & (rx > 0) & (ry > 0)
     touched = jnp.where(alive, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
     return x0, x1, y0, y1, touched
+
+
+SUPER = 8  # tiles per supertile side for the cutoff coarsening
+
+
+def cutoff_cull(depth, x0, x1, y0, y1, cutoff_map, ntx: int, nty: int,
+                splat_chunk: int = 1 << 16,
+                super_size: int = SUPER) -> jnp.ndarray:
+    """Temporal-reuse depth cull: keep[s] = splat s's camera depth is within
+    the per-tile saturation cutoff of SOME tile its footprint touches.
+
+    cutoff_map [nty*ntx] f32 holds, per tile, the depth beyond which the
+    previous frame's blend was fully saturated (+inf = keep everything).
+    The exact test needs max(cutoff) over the splat's tile rect — a
+    per-splat rect reduction, which on TPU would be a random gather. We
+    coarsen conservatively instead: an 8x8-tile supertile MAX map is small
+    enough (~135 entries at 1080p/16px tiles) that a 4-corner lookup runs
+    as a broadcast-compare + row-reduce (no gather). Splats whose rect
+    spans >2 supertiles per axis (footprints wider than a supertile) fall
+    back to keep (rare, and they are exactly the splats whose rect the 4
+    corners would under-cover).
+
+    Returns keep [N] bool. Conservative by construction: supertile max >=
+    rect max, so keep is a superset of the exact test.
+    """
+    nsx, nsy = -(-ntx // super_size), -(-nty // super_size)
+    pad_x, pad_y = nsx * super_size - ntx, nsy * super_size - nty
+    cm = cutoff_map.reshape(nty, ntx)
+    if pad_x or pad_y:
+        cm = jnp.pad(cm, ((0, pad_y), (0, pad_x)),
+                     constant_values=-jnp.inf)
+    sm = cm.reshape(nsy, super_size, nsx,
+                    super_size).max(axis=(1, 3)).reshape(-1)
+    # finite encoding for the matmul gather below: a one-hot row dotted
+    # with a table containing ±inf would produce 0*inf = NaN
+    sm = jnp.clip(sm, -1e30, 1e30)
+    S = nsy * nsx
+
+    sx0, sx1 = x0 // super_size, x1 // super_size
+    sy0, sy1 = y0 // super_size, y1 // super_size
+    big = (sx1 - sx0 > 1) | (sy1 - sy0 > 1)
+    corners = [sy0 * nsx + sx0, sy0 * nsx + sx1,
+               sy1 * nsx + sx0, sy1 * nsx + sx1]
+
+    N = depth.shape[0]
+    pad = (-N) % splat_chunk
+    if pad:
+        depth = jnp.pad(depth, (0, pad), constant_values=jnp.inf)
+        corners = [jnp.pad(c, (0, pad)) for c in corners]
+    n_chunks = depth.shape[0] // splat_chunk
+    sids = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    def body(c, keep):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * splat_chunk,
+                                                    splat_chunk)
+        est = jnp.full((splat_chunk,), -1e30)
+        for corner in corners:
+            # one hot per row -> the dot IS the gather (HIGHEST precision:
+            # default MXU rounds the f32 depth table to bf16)
+            oh = (sl(corner)[:, None] == sids).astype(jnp.float32)
+            v = jax.lax.dot(oh, sm[:, None],
+                            precision=jax.lax.Precision.HIGHEST)[:, 0]
+            est = jnp.maximum(est, v)
+        k = sl(depth) <= est
+        return jax.lax.dynamic_update_slice_in_dim(keep, k, c * splat_chunk,
+                                                   0)
+    keep = jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.zeros((depth.shape[0],), bool))
+    keep = keep[:N] | big
+    return keep
 
 
 def tile_histogram(x0, x1, y0, y1, alive, ntx: int, nty: int,
@@ -149,7 +222,8 @@ def build_tile_binning(
     *, width: int, height: int, tile_w: int = 128, tile_h: int = 8,
     chunk: int = 128, max_pairs: int = 1 << 20,
     expand_impl: str = "xla", interpret: bool = False,
-    with_ids: bool = False,
+    with_ids: bool = False, cutoff_map=None, carry_depth: bool = False,
+    cull_super: int = SUPER,
 ) -> TileBinning:
     """Bin splats into per-tile, depth-sorted pair lists.
 
@@ -176,6 +250,14 @@ def build_tile_binning(
         m2x, m2y, rx, ry, alive, width, height, tile_w, tile_h)
     opacity = jnp.where(alive, opacity, 0.0)
 
+    # --- temporal-reuse cull (serving): drop splats beyond every touched
+    # tile's saturation-depth cutoff from the previous frame. Before the
+    # histogram, so counts/offsets see the culled pair stream ---
+    if cutoff_map is not None:
+        keep = cutoff_cull(depth, x0, x1, y0, y1, cutoff_map, ntx, nty,
+                           super_size=cull_super)
+        touched = jnp.where(keep, touched, 0)
+
     # --- per-tile pair counts → tile offsets, order-independent (MXU
     # rectangle histogram; replaces a searchsorted over the sorted pairs) ---
     counts = tile_histogram(x0, x1, y0, y1, touched > 0, ntx, nty).reshape(T)
@@ -200,7 +282,8 @@ def build_tile_binning(
     if with_ids:
         carry_ops = carry_ops + (jnp.arange(N, dtype=jnp.int32),)
     sorted_carry = jax.lax.sort(carry_ops, num_keys=1, is_stable=False)
-    (_, xy0, wspan_touch, m2x, m2y, qa, qb, qc, rgp, bop) = sorted_carry[:10]
+    (depth_s, xy0, wspan_touch, m2x, m2y, qa, qb, qc, rgp,
+     bop) = sorted_carry[:10]
     orig_s = sorted_carry[10] if with_ids else None
     x0s = xy0 & 0xFFF
     y0s = xy0 >> 12
@@ -218,26 +301,31 @@ def build_tile_binning(
         geom_n = [x0s, y0s, w_span, base]
         tabf = jnp.stack(
             [jax.lax.bitcast_convert_type(a, jnp.float32) for a in geom_n]
-            + feats_n
-            + [jnp.zeros_like(m2x)] * (TAB_ROWS - 11), axis=0)   # [16, N]
+            + feats_n + [depth_s]
+            + [jnp.zeros_like(m2x)] * (TAB_ROWS - 12), axis=0)   # [16, N]
         rowsf = expand_pairs(tabf, base, max_pairs,
                              interpret=interpret)               # [16, MP]
         geom = jax.lax.bitcast_convert_type(rowsf[:4], jnp.int32)
         gx0, gy0, gw, gbase = geom[0], geom[1], geom[2], geom[3]
         pair_feats = [rowsf[4 + i] for i in range(N_FEATURES)]
+        pair_depth = rowsf[11]          # expanded for free (16-row copy)
     else:
         # ONE 2D repeat (measured ~2.5x cheaper in XLA than materializing
         # splat ids and row-gathering the table)
+        feat_cols = [m2x, m2y, qa, qb, qc, rgp, bop]
+        if carry_depth:
+            feat_cols.append(depth_s)
         tab = jnp.concatenate(
             [jax.lax.bitcast_convert_type(
                 jnp.stack([x0s, y0s, w_span, base], -1), jnp.float32),
-             jnp.stack([m2x, m2y, qa, qb, qc, rgp, bop], -1)],
-            axis=-1)                                 # [N, 11]
+             jnp.stack(feat_cols, -1)],
+            axis=-1)                                 # [N, 11 (+1)]
         rows = jnp.repeat(tab, touched_s, axis=0,
-                          total_repeat_length=max_pairs)  # [MP, 11]
+                          total_repeat_length=max_pairs)  # [MP, 11 (+1)]
         geom = jax.lax.bitcast_convert_type(rows[:, :4], jnp.int32)
         gx0, gy0, gw, gbase = geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3]
         pair_feats = [rows[:, 4 + i] for i in range(N_FEATURES)]
+        pair_depth = rows[:, 11] if carry_depth else None
 
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = slots < jnp.minimum(total, max_pairs)
@@ -250,12 +338,19 @@ def build_tile_binning(
     # depth-ordered, so within-tile order stays front-to-back; carrying
     # beats a post-sort random gather) ---
     sort_ops = (tile,) + tuple(pair_feats)
+    if carry_depth:
+        sort_ops = sort_ops + (pair_depth,)  # serving cutoff feedback
     if with_ids:
         sort_ops = sort_ops + (slots,)     # depth-order pair index
     sorted_ops = jax.lax.sort(sort_ops, num_keys=1, is_stable=True)
     tile_s = sorted_ops[0]
     feats = sorted_ops[1:1 + N_FEATURES]
-    idp_s = sorted_ops[1 + N_FEATURES] if with_ids else None
+    nxt = 1 + N_FEATURES
+    pair_depth_s = None
+    if carry_depth:
+        pair_depth_s = sorted_ops[nxt]
+        nxt += 1
+    idp_s = sorted_ops[nxt] if with_ids else None
 
     # --- feature-major payload (sentinel tail already has opacity 0 via the
     # `valid` gating below; padded tail covers the kernel's aligned
@@ -297,6 +392,7 @@ def build_tile_binning(
         tile_count=counts,
         total_pairs=total.astype(jnp.int32),
         overflow=overflow,
+        pair_depth=pair_depth_s,
         sorted_base=base if with_ids else None,
         sorted_touched=touched_s if with_ids else None,
         sorted_orig=orig_s,
