@@ -77,6 +77,20 @@ class RenderConfig:
                                 # native MXU width (smaller bs pads to 128
                                 # anyway) and amortizes grid-step overhead
     splat_chunk: int = 256      # splats per chunk in the brute-force paths
+    scan_impl: Literal["roll", "logmm"] = "roll"
+                                # packed-kernel exclusive-cumprod scan:
+                                # "roll" = 8-step masked Hillis-Steele;
+                                # "logmm" = log-space segmented-triangular
+                                # MXU matmul (hi/lo bf16 split)
+    payload: Literal["f32", "compact"] = "f32"
+                                # pair-payload precision for the packed
+                                # blend path: "compact" packs mean (u16
+                                # fixed point, tile-relative), quads (bf16)
+                                # and depth into a 6-row int32 payload —
+                                # fewer sort operands / expand rows / DMA
+                                # bytes at ~1e-3-class alpha error (the
+                                # reference's own exp-LUT granularity);
+                                # "f32" is the bit-parity tier
     serving_super: int = 8      # tiles per supertile side for the serving
                                 # cutoff coarsening (gsrt.serving): smaller
                                 # = finer cull granularity, larger = cheaper

@@ -412,6 +412,13 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     if serving:
         assert cfg.blend_impl == "packed" and (tw, th) != (128, 8), \
             "serving mode requires the packed blend kernel"
+    compact = cfg.payload == "compact"
+    if compact:
+        assert cfg.blend_impl == "packed", \
+            "compact payload requires the packed blend kernel"
+        ntx = -(-camera.width // tw)
+        if ntx > 127:       # 7-bit x-span budget (ok through 2K at 16 px)
+            compact = False
     binning = build_tile_binning(
         depth, m2x, m2y, qa, qb, qc, fm.opacity, cr, cg, cb, rx, ry, alive,
         width=camera.width, height=camera.height,
@@ -419,7 +426,7 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         chunk=cfg.pair_chunk, max_pairs=max_pairs,
         expand_impl=cfg.expand_impl, interpret=interpret,
         cutoff_map=cutoff_map, carry_depth=serving,
-        cull_super=cfg.serving_super)
+        cull_super=cfg.serving_super, compact=compact)
     # Materialize binning outputs before the Pallas call: fusing XLA ops
     # into the kernel's operands produced wrong layouts/garbage reads on
     # the TPU backend (kernel verified correct on materialized inputs).
@@ -457,7 +464,7 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
             skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut,
-            track_consumed=serving)
+            track_consumed=serving, scan_impl=cfg.scan_impl)
         if serving:
             color, trans, consumed = res
         else:

@@ -55,7 +55,7 @@ def _expand_kernel(
     # outputs
     out_ref,               # [TAB_ROWS, C] VMEM
     # scratch
-    tbuf,                  # [2, TAB_ROWS, W] VMEM f32
+    tbuf,                  # [2, rows, W] VMEM f32
     sbuf,                  # [2, 8, W] VMEM int32
     sem,                   # DMA semaphores (2, 2)
     *,
@@ -147,14 +147,16 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
                  *, chunk: int = 16384, interpret: bool = False) -> jnp.ndarray:
     """Expand a depth-sorted splat table to the pair table.
 
-    tabf: [TAB_ROWS, N] f32, feature-major; row 3 must hold the splat's
-      first-pair offset ("base", int32 bitcast), with _DEAD_BASE for splats
-      that generate no pairs; pair-generating splats must form a prefix and
-      bases must be strictly increasing (each generates >= 1 pair).
+    tabf: [rows, N] f32, feature-major (rows must be a multiple of 8; the
+      compact payload uses 8, the f32 payload 16 = TAB_ROWS); one row must
+      hold the splat's first-pair offset ("base", int32 bitcast), with
+      _DEAD_BASE for splats that generate no pairs; pair-generating splats
+      must form a prefix and bases must be strictly increasing (each
+      generates >= 1 pair).
     base: [N] int32 — the same base column (used for the source-index merge
       and to locate chunk windows).
 
-    Returns [TAB_ROWS, max_pairs] f32 where column p = tabf[:, s(p)] with
+    Returns [rows, max_pairs] f32 where column p = tabf[:, s(p)] with
     s(p) the splat covering pair p.
 
     chunk: output pairs per grid step. Large chunks amortize the ~10 us
@@ -163,6 +165,8 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     overhead at 4.19M pairs). 16384 costs ~3.2 MB of double-buffered VMEM,
     well under the 16 MB scoped limit.
     """
+    rows = tabf.shape[0]
+    assert rows % 8 == 0, "table rows must fill whole f32 sublane tiles"
     assert chunk % 128 == 0
     chunk = min(chunk, max(128, (max_pairs // 128) * 128))
     # pad the pair axis up to a chunk multiple; callers slice back
@@ -202,10 +206,10 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((TAB_ROWS, chunk),
+        out_specs=pl.BlockSpec((rows, chunk),
                                index_map=lambda g, ss: (0, g)),
         scratch_shapes=[
-            pltpu.VMEM((2, TAB_ROWS, W), jnp.float32),
+            pltpu.VMEM((2, rows, W), jnp.float32),
             pltpu.VMEM((2, 8, W), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -213,7 +217,7 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((TAB_ROWS, mp_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, mp_pad), jnp.float32),
         interpret=interpret,
     )(src_start, tabf, srow)
     return out[:, :max_pairs] if mp_pad != max_pairs else out

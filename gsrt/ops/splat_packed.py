@@ -55,8 +55,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsrt.ops.splat_pallas import _exp_neg_lut
-from gsrt.ops.tile_binning import (PACK_RANGE, PAYLOAD_WIDTH, TileBinning,
-                                   tile_extent)
+from gsrt.ops.tile_binning import (COMPACT_WIDTH, MEAN_COARSE_BIAS,
+                                   MEAN_COARSE_SCALE, MEAN_FINE_BIAS,
+                                   MEAN_FINE_SCALE, PACK_RANGE,
+                                   PAYLOAD_WIDTH, TileBinning, tile_extent)
 
 LANES = 128
 
@@ -75,6 +77,7 @@ def _blend_packed_kernel(
     g_cutoff: float, alpha_threshold: float, alpha_clamp: float,
     term_eps: float, skip_range_check: bool, use_exp_lut: bool,
     exact_dots: bool, track_consumed: bool = False, ablate: str = "",
+    compact: bool = False, scan_impl: str = "roll",
 ):
     if track_consumed:
         consumed_ref, buf, sem = rest
@@ -175,14 +178,16 @@ def _blend_packed_kernel(
         pay = buf[slot]                                # (PAYLOAD, LANES)
         if ablate == "dmaonly":
             # consume the buffer so the DMA is not dead-code-eliminated
-            return (j + 1, trans + 1e-30 * jnp.sum(pay), r_acc, g_acc,
+            junk = 1e-30 * jnp.sum(pay).astype(jnp.float32)
+            return (j + 1, trans + junk, r_acc, g_acc,
                     b_acc) + ((sat,) if track_consumed else ())
-        pay_i_all = pltpu.bitcast(pay, jnp.int32)
-        # each pair's tile id rides in payload row 7 (20 bits + bias bit;
-        # tile_binning). Lanes outside this group's [t0, t0+bs) window —
-        # the aligned prefix, the tail, dead sentinels (tile = T) — match
-        # no one-hot column and are inert everywhere below.
-        s_tile = pay_i_all[7:8, :] & 0xFFFFF           # (1, LANES)
+        pay_i_all = pay if compact else pltpu.bitcast(pay, jnp.int32)
+        # each pair's tile id rides in the last payload row (20 bits, plus
+        # a bias bit in f32 mode; tile_binning). Lanes outside this group's
+        # [t0, t0+bs) window — the aligned prefix, the tail, dead sentinels
+        # (tile = T) — match no one-hot column and are inert below.
+        tile_row = COMPACT_WIDTH - 1 if compact else 7
+        s_tile = pay_i_all[tile_row:tile_row + 1, :] & 0xFFFFF  # (1, LANES)
         s_local = s_tile - t0
         onehot = (krow == s_local).astype(acc_dtype)   # (bs, LANES)
 
@@ -194,24 +199,54 @@ def _blend_packed_kernel(
         def blend(args):
             trans, r_acc, g_acc, b_acc = args
 
-            ox = ((s_tile % ntx) * sub_w).astype(jnp.float32)  # (1, LANES)
-            oy = ((s_tile // ntx) * sub_h).astype(jnp.float32)
+            if compact:
+                # int32 payload: u16|u16 tile-relative two-tier fixed-point
+                # mean (bit 15 = tier), bf16|bf16 Cholesky — mask/shift +
+                # bitcast, f32 math after
 
-            mean_x = pay[0:1, :]
-            mean_y = pay[1:2, :]
-            qa = pay[2:3, :]
-            qb = pay[3:4, :]
-            qc = pay[4:5, :]
-            rg = pay_i_all[5:6, :]
-            bo = pay_i_all[6:7, :]
+                def mean_axis(w16):
+                    mag = (w16 & 0x7FFF).astype(jnp.float32)
+                    fine = mag * (1.0 / MEAN_FINE_SCALE) - MEAN_FINE_BIAS
+                    coarse = (mag * (1.0 / MEAN_COARSE_SCALE)
+                              - MEAN_COARSE_BIAS)
+                    return jnp.where((w16 & 0x8000) != 0, coarse, fine)
+
+                w0 = pay_i_all[0:1, :]
+                mean_x = mean_axis((w0 >> 16) & 0xFFFF)
+                mean_y = mean_axis(w0 & 0xFFFF)
+                w1 = pay_i_all[1:2, :]
+                l11 = pltpu.bitcast(w1 & jnp.int32(-65536), jnp.float32)
+                l21 = pltpu.bitcast(w1 << 16, jnp.float32)
+                l22 = pltpu.bitcast(pay_i_all[2:3, :] & jnp.int32(-65536),
+                                    jnp.float32)
+                rg = pay_i_all[3:4, :]
+                bo = pay_i_all[4:5, :]
+                # mean is TILE-relative: the tile-origin term cancels
+                dx = xloc - mean_x                     # (win, LANES)
+                dy = yloc - mean_y
+            else:
+                ox = ((s_tile % ntx) * sub_w).astype(jnp.float32)
+                oy = ((s_tile // ntx) * sub_h).astype(jnp.float32)
+                mean_x = pay[0:1, :]
+                mean_y = pay[1:2, :]
+                qa = pay[2:3, :]
+                qb = pay[3:4, :]
+                qc = pay[4:5, :]
+                rg = pay_i_all[5:6, :]
+                bo = pay_i_all[6:7, :]
+                dx = (xloc + ox) - mean_x              # (win, LANES)
+                dy = (yloc + oy) - mean_y
             cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
             cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
             cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
             op = (bo & 0x7FFF).astype(jnp.float32) * inv_q
-
-            dx = (xloc + ox) - mean_x                  # (win, LANES)
-            dy = (yloc + oy) - mean_y
-            gq = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy + qc * dy * dy)
+            if compact:
+                t1 = l11 * dx + l21 * dy
+                t2 = l22 * dy
+                gq = 0.5 * (t1 * t1 + t2 * t2)
+            else:
+                gq = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy
+                            + qc * dy * dy)
             if ablate == "noewa":
                 gq = dx + dy                           # keep shape, skip math
 
@@ -239,6 +274,17 @@ def _blend_packed_kernel(
 
             if ablate == "noscan":
                 excl = one_minus
+            elif scan_impl == "logmm":
+                # log-space scan on the MXU: excl = exp(log(1-α) @ M) with
+                # M[p, q] = (p < q) & same-segment — data-dependent but
+                # 0/1, so exact in bf16; only the log side needs the hi/lo
+                # split (2 MXU passes vs 6 for Precision.HIGHEST — the
+                # variant the v3 docstring measured slower). α ≤
+                # alpha_clamp = 0.99 keeps log(1-α) ≥ log(0.01) — finite.
+                segmat = ((s_tile == s_tile.reshape(LANES, 1))
+                          & (lane > lane.reshape(LANES, 1)))  # (128, 128)
+                lm = jnp.log(one_minus)                       # (win, 128)
+                excl = jnp.exp(dot_split(lm, segmat.astype(acc_dtype)))
             else:
                 excl = jnp.where(same_seg(1),
                                  pltpu.roll(one_minus, shift=1, axis=1), 1.0)
@@ -319,9 +365,11 @@ def blend_packed(
     term_eps: float = 1e-4, interpret: bool = False,
     skip_range_check: bool = False, use_exp_lut: bool = False,
     track_consumed: bool = False, ablate: str = "",
+    scan_impl: str = "roll",
 ):
     """Run the packed blend. `binning` must have been built with
-    tile_w=sub_w, tile_h=sub_h. Returns (color [H,W,3], trans [H,W]), plus
+    tile_w=sub_w, tile_h=sub_h (compact payloads are detected from the
+    payload dtype). Returns (color [H,W,3], trans [H,W]), plus
     — when track_consumed — a raw [G, bs] int32 map of the first chunk
     index at which each tile column was saturated (== the group's chunk
     count when it never saturated; position bound = group_aligned_start +
@@ -333,6 +381,9 @@ def blend_packed(
     win = sub_w * sub_h
     assert win % 128 == 0, "subtile pixel count must be a multiple of 128"
     assert bs % 8 == 0, "Mosaic output blocks need sublane dims % 8 == 0"
+    compact = binning.payload.dtype == jnp.int32
+    p_width = COMPACT_WIDTH if compact else PAYLOAD_WIDTH
+    p_dtype = jnp.int32 if compact else jnp.float32
     ntx, nty = tile_extent(width, height, sub_w, sub_h)
     T = ntx * nty
     t_pad = (-T) % bs
@@ -349,6 +400,7 @@ def blend_packed(
         alpha_clamp=alpha_clamp, term_eps=term_eps,
         skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
         exact_dots=interpret, track_consumed=track_consumed, ablate=ablate,
+        compact=compact, scan_impl=scan_impl,
     )
 
     out_specs = [
@@ -375,7 +427,7 @@ def blend_packed(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, PAYLOAD_WIDTH, LANES), jnp.float32),
+            pltpu.VMEM((2, p_width, LANES), p_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

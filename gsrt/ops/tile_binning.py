@@ -54,6 +54,39 @@ N_FEATURES = 7
 PACK_RANGE = 4.0
 _PACK_BIAS = jnp.int32(1 << 30)
 
+# --- compact payload (int32-typed, 6 rows; splat_packed compact mode) ---
+# rows: 0 mean (2 x u16 fixed point, TILE-relative, 1/MEAN_SCALE px,
+#       biased by MEAN_BIAS)   1 chol.l11|chol.l21 (2 x bf16)
+#       2 chol.l22|camera-depth (2 x bf16)   3 pack15(r, g)
+#       4 pack15(b, opacity)   5 tile id
+# The conic rides as its CHOLESKY factors, g = ((l11·dx + l21·dy)² +
+# (l22·dy)²)/2, NOT as (qa, qb, qc): in the direct quadratic form the
+# three bf16 rounding errors hit terms that mutually cancel for
+# anisotropic splats (error ~ condition·g·2⁻⁹ — measured 0.08 max color
+# error); in the factored form each squared term's error is 2|t|·Δt, so
+# small responses stay small (error ~ sqrt(condition)·g·2⁻⁹, measured
+# ~6x lower on the same scene).
+# Packed words ride as int32 END-TO-END (repeat, sort, select): TPU float
+# select paths flush denormal bit patterns to zero (see pack15), integer
+# ops never do — so 2x16-bit packing needs no bias-bit normality trick.
+# Mean precision is TWO-TIER per axis (bit 15 of each u16 selects the
+# tier): fine = 1/256 px over [-64, +64) px, coarse = 1/8 px over
+# [-2048, +2048) px. The exponent error is |∇g|·δ; a coarse-tier axis
+# means the tile's pixels sit ≥ 48 px from the mean along that axis, so
+# a splat alive there has σ ≥ 48/√(2·g_cutoff) ≈ 14 px and |∇g| ≤
+# √(2·g_cutoff)/σ ≈ 0.23/px → δg ≤ 0.23/16 ≈ 0.015; the fine tier's
+# 1/512-px rounding bounds δg ≈ 0.007 even for sub-2-px splats.
+# Measured on the parity test scene: max color error 6e-3, mean 2e-4 —
+# a documented fast tier, not the bit-parity path (the f32 payload).
+COMPACT_WIDTH = 6
+MEAN_FINE_SCALE = 256.0    # 1/256 px quantization …
+MEAN_FINE_BIAS = 64.0      # … over [-64, +64) px
+MEAN_COARSE_SCALE = 8.0    # 1/8 px quantization …
+MEAN_COARSE_BIAS = 2048.0  # … over [-2048, +2048) px (clamps beyond; a
+                           # touched tile >2 Kpx from its splat's mean
+                           # needs a >4000-px footprint — gated by the
+                           # ntx ≤ 127 compact-mode limit)
+
 
 def pack15(x, y):
     """Two [0, PACK_RANGE) floats → one NORMAL f32 holding
@@ -63,6 +96,40 @@ def pack15(x, y):
     yi = jnp.clip(y * q, 0, 32767).astype(jnp.int32)
     return jax.lax.bitcast_convert_type(_PACK_BIAS | (xi << 15) | yi,
                                         jnp.float32)
+
+
+def pack_bf16_pair(hi, lo):
+    """Two f32 → one int32: round-to-nearest bf16(hi) in the top 16 bits,
+    bf16(lo) in the low 16. Decode is mask/shift + bitcast (f32 arithmetic
+    throughout — only storage narrows)."""
+    hb = jax.lax.bitcast_convert_type(hi.astype(jnp.bfloat16), jnp.uint16)
+    lb = jax.lax.bitcast_convert_type(lo.astype(jnp.bfloat16), jnp.uint16)
+    return (hb.astype(jnp.int32) << 16) | lb.astype(jnp.int32)
+
+
+def unpack_bf16_hi(w):
+    return jax.lax.bitcast_convert_type(w & jnp.int32(-65536), jnp.float32)
+
+
+def unpack_bf16_lo(w):
+    return jax.lax.bitcast_convert_type(w << 16, jnp.float32)
+
+
+def _pack_mean_axis(v):
+    """One tile-relative mean coordinate → u16, two-tier (layout comment
+    above): bit 15 = 0 → fine (1/256 px, ±64 px), = 1 → coarse (1/8 px,
+    ±2048 px, saturating)."""
+    fine = jnp.clip(jnp.round((v + MEAN_FINE_BIAS) * MEAN_FINE_SCALE),
+                    0, 32767).astype(jnp.int32)
+    coarse = jnp.clip(jnp.round((v + MEAN_COARSE_BIAS) * MEAN_COARSE_SCALE),
+                      0, 32767).astype(jnp.int32) | 0x8000
+    return jnp.where((v >= -MEAN_FINE_BIAS) & (v < MEAN_FINE_BIAS),
+                     fine, coarse)
+
+
+def pack_mean_rel(mx_rel, my_rel):
+    """Tile-relative mean → (x u16 << 16) | y u16, each two-tier."""
+    return (_pack_mean_axis(mx_rel) << 16) | _pack_mean_axis(my_rel)
 
 
 class TileBinning(NamedTuple):
@@ -223,7 +290,7 @@ def build_tile_binning(
     chunk: int = 128, max_pairs: int = 1 << 20,
     expand_impl: str = "xla", interpret: bool = False,
     with_ids: bool = False, cutoff_map=None, carry_depth: bool = False,
-    cull_super: int = SUPER,
+    cull_super: int = SUPER, compact: bool = False,
 ) -> TileBinning:
     """Bin splats into per-tile, depth-sorted pair lists.
 
@@ -269,6 +336,16 @@ def build_tile_binning(
     # segment inside the payload (image is wrong until the caller
     # re-calibrates on the overflow flag, but memory stays safe)
     tile_start = jnp.minimum(tile_start, jnp.minimum(total, max_pairs))
+
+    if compact:
+        return _build_compact(
+            depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb,
+            x0, x1, y0, y1, touched, ntx=ntx, nty=nty, T=T,
+            tile_w=tile_w, tile_h=tile_h, chunk=chunk, max_pairs=max_pairs,
+            expand_impl=expand_impl, interpret=interpret,
+            carry_depth=carry_depth, with_ids=with_ids,
+            counts=counts, tile_start=tile_start, total=total,
+            overflow=overflow)
 
     # --- ONE carry-sort by camera depth compacts pair-generating splats to
     # a prefix and orders them front-to-back (the reference's visit order).
@@ -396,4 +473,121 @@ def build_tile_binning(
         sorted_base=base if with_ids else None,
         sorted_touched=touched_s if with_ids else None,
         sorted_orig=orig_s,
+    )
+
+
+def _build_compact(
+    depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb,
+    x0, x1, y0, y1, touched, *, ntx, nty, T, tile_w, tile_h, chunk,
+    max_pairs, expand_impl, interpret, carry_depth, with_ids,
+    counts, tile_start, total, overflow,
+) -> TileBinning:
+    """Compact-payload binning: same pipeline as build_tile_binning but
+    every packed word rides int32 (see COMPACT_WIDTH layout above).
+
+    Wins over the f32 path (all stages scale with operand/row count):
+      * depth carry-sort: 9 operands (qa|qb and qc|depth pre-packed);
+      * expand table: exactly 8 rows (x-span packed into the xy0 word) —
+        half the 16-row f32 table;
+      * tile sort: 6 operands vs 9;
+      * payload: 6 rows vs 8 → 25% less blend-kernel DMA.
+    Camera depth always rides qc's low half, so the serving feedback
+    (carry_depth) is free. Requires the packed blend kernel and ntx ≤ 127
+    (7-bit x-span); with_ids (the VJP path) stays on the f32 payload.
+    """
+    assert not with_ids, "compact payload is forward-only (f32 for VJP)"
+    assert ntx <= 127, "compact payload packs the tile x-span in 7 bits"
+    N = depth.shape[0]
+
+    # --- depth carry-sort, quads pre-packed (splat-level, tile-free) ---
+    key = jnp.where(touched > 0, depth, jnp.inf)
+    xy0 = x0 | (y0 << 12)
+    wspan_touch = ((x1 - x0 + 1) << 20) | touched
+    # Cholesky of the conic [[qa, qb], [qb, qc]] (see layout comment)
+    l11 = jnp.sqrt(jnp.maximum(qa_c, 1e-12))
+    l21 = qb_c / jnp.maximum(l11, 1e-12)
+    l22 = jnp.sqrt(jnp.maximum(qc_c - l21 * l21, 1e-12))
+    qab = pack_bf16_pair(l11, l21)
+    qcd = pack_bf16_pair(l22, depth)
+    rgp = jax.lax.bitcast_convert_type(pack15(cr, cg), jnp.int32)
+    bop = jax.lax.bitcast_convert_type(pack15(cb, opacity), jnp.int32)
+    carry = jax.lax.sort((key, xy0, wspan_touch, m2x, m2y, qab, qcd,
+                          rgp, bop), num_keys=1, is_stable=False)
+    (_, xy0, wspan_touch, m2x_s, m2y_s, qab, qcd, rgp, bop) = carry
+    x0s = xy0 & 0xFFF
+    y0s = xy0 >> 12
+    w_span = jnp.maximum(wspan_touch >> 20, 1)
+    touched_s = wspan_touch & 0xFFFFF
+    offsets = jnp.cumsum(touched_s)
+    from gsrt.ops.pair_expand import _DEAD_BASE
+    base = jnp.where(touched_s > 0, offsets - touched_s, _DEAD_BASE)
+
+    # --- expand: ONE 8-row int table (mean stays f32-precise; it is
+    # re-based to the pair's tile and quantized only after the tile is
+    # known below) ---
+    xy0ws = x0s | (y0s << 12) | (w_span << 24)
+    tab_rows = [xy0ws, base,
+                jax.lax.bitcast_convert_type(m2x_s, jnp.int32),
+                jax.lax.bitcast_convert_type(m2y_s, jnp.int32),
+                qab, qcd, rgp, bop]
+    if expand_impl == "pallas":
+        from gsrt.ops.pair_expand import expand_pairs
+        tabf = jax.lax.bitcast_convert_type(
+            jnp.stack(tab_rows, axis=0), jnp.float32)        # [8, N]
+        e = jax.lax.bitcast_convert_type(
+            expand_pairs(tabf, base, max_pairs, interpret=interpret),
+            jnp.int32)                                       # [8, MP]
+        e0, gbase = e[0], e[1]
+        m2xp, m2yp, qabp, qcdp, rgpp, bopp = (e[i] for i in range(2, 8))
+    else:
+        rows = jnp.repeat(jnp.stack(tab_rows, axis=-1), touched_s, axis=0,
+                          total_repeat_length=max_pairs)     # [MP, 8]
+        e0, gbase = rows[:, 0], rows[:, 1]
+        m2xp, m2yp, qabp, qcdp, rgpp, bopp = (rows[:, i]
+                                              for i in range(2, 8))
+
+    gx0 = e0 & 0xFFF
+    gy0 = (e0 >> 12) & 0xFFF
+    gw = jnp.maximum((e0 >> 24) & 0x7F, 1)
+    slots = jnp.arange(max_pairs, dtype=jnp.int32)
+    valid = slots < jnp.minimum(total, max_pairs)
+    rank = slots - gbase
+    tx = gx0 + rank % gw
+    ty = gy0 + rank // gw
+    tile = jnp.where(valid, ty * ntx + tx, T).astype(jnp.int32)
+
+    # tile-relative fixed-point mean (garbage on dead slots — zeroed below)
+    meanp = pack_mean_rel(
+        jax.lax.bitcast_convert_type(m2xp, jnp.float32)
+        - (tx * tile_w).astype(jnp.float32),
+        jax.lax.bitcast_convert_type(m2yp, jnp.float32)
+        - (ty * tile_h).astype(jnp.float32))
+
+    # --- stable tile sort: 6 int32 operands ---
+    sorted_ops = jax.lax.sort((tile, meanp, qabp, qcdp, rgpp, bopp),
+                              num_keys=1, is_stable=True)
+    tile_s = sorted_ops[0]
+    feats_i = sorted_ops[1:6]
+    pair_depth_s = unpack_bf16_lo(sorted_ops[3]) if carry_depth else None
+
+    # --- 6-row int32 payload; dead rows zero (opacity 0 → inert), tile
+    # row keeps the T sentinel ---
+    dead = tile_s >= T
+    pad = chunk + 128
+    payload = jnp.stack(
+        [jnp.where(dead, 0, f) for f in feats_i]
+        + [jnp.minimum(tile_s, T)], axis=0)              # [6, MP]
+    tail = jnp.where(
+        jnp.arange(COMPACT_WIDTH)[:, None] == COMPACT_WIDTH - 1,
+        jnp.full((COMPACT_WIDTH, pad), T, jnp.int32),
+        jnp.zeros((COMPACT_WIDTH, pad), jnp.int32))
+    payload = jnp.concatenate([payload, tail], axis=1)
+
+    return TileBinning(
+        payload=payload,
+        tile_start=tile_start,
+        tile_count=counts,
+        total_pairs=total.astype(jnp.int32),
+        overflow=overflow,
+        pair_depth=pair_depth_s,
     )

@@ -82,3 +82,56 @@ def test_packed_empty_tiles_background():
     assert np.isfinite(t).all()
     assert (t <= 1.0 + 1e-6).all() and (t >= 0).all()
     assert t[0, 0] == 1.0 and t[-1, -1] == 1.0
+
+@pytest.mark.parametrize("expand_impl", ["xla", "pallas"])
+def test_compact_payload_matches_f32(expand_impl):
+    """The compact (int32-packed) payload is a documented fast tier:
+    tile-relative u16 fixed-point means (1/32 px) + bf16 Cholesky factors
+    bound the alpha error at ~1e-2 worst / 1e-3 typical (tile_binning.py
+    layout comment). Checked against the f32-payload packed kernel AND
+    against render_fast on a dense multi-tile scene."""
+    cloud, camera = random_cloud(400, seed=7, width=128, height=96)
+    base = RenderConfig(width=128, height=96, conic_mode="standard",
+                        tile_w=16, tile_h=8, blend_impl="packed",
+                        expand_impl=expand_impl)
+    f = render_tiled(cloud, camera, base, max_pairs=1 << 15, interpret=True)
+    c = render_tiled(cloud, camera, base.replace(payload="compact"),
+                     max_pairs=1 << 15, interpret=True)
+    cf, ff = np.asarray(c.color), np.asarray(f.color)
+    assert np.abs(cf - ff).max() < 2e-2
+    assert np.abs(np.asarray(c.trans) - np.asarray(f.trans)).max() < 2e-2
+    # typical error must be ~1e-3-class, not just bounded
+    assert np.abs(cf - ff).mean() < 2e-3
+    a = render_fast(cloud, camera, base)
+    assert np.abs(cf - np.asarray(a.color)).max() < 2e-2
+
+
+def test_compact_payload_serving_depth_carry():
+    """carry_depth (serving mode) must survive the compact payload: the
+    pair depth rides the low bf16 half of the qcd word."""
+    import jax.numpy as jnp
+    from gsrt.models.gaussian_rt import fm_from_cloud, _precompute_fm
+    from gsrt.ops.gaussian import screen_extents_abc
+    from gsrt.ops.tile_binning import build_tile_binning
+    cloud, camera = random_cloud(100, seed=2, width=64, height=32)
+    cfg = RenderConfig(width=64, height=32, conic_mode="standard",
+                       tile_w=16, tile_h=8)
+    fm = fm_from_cloud(cloud)
+    depth, m2x, m2y, qa, qb, qc, in_front, cr, cg, cb = _precompute_fm(
+        fm, camera, cfg)
+    rx, ry = screen_extents_abc(qa, qb, qc, cfg.conic_mode, cfg.g_cutoff,
+                                opacity=fm.opacity,
+                                alpha_threshold=cfg.alpha_threshold)
+    alive = in_front & (fm.opacity > cfg.alpha_threshold)
+    kw = dict(width=64, height=32, tile_w=16, tile_h=8, chunk=cfg.pair_chunk,
+              max_pairs=1 << 13, expand_impl="xla", carry_depth=True)
+    args = (depth, m2x, m2y, qa, qb, qc, fm.opacity, cr, cg, cb, rx, ry,
+            alive)
+    bf = build_tile_binning(*args, **kw)
+    bc = build_tile_binning(*args, compact=True, **kw)
+    n = int(bf.total_pairs)
+    df = np.asarray(bf.pair_depth)[:n]
+    dc = np.asarray(bc.pair_depth)[:n]
+    assert int(bc.total_pairs) == n
+    # bf16 depth: ~3 decimal digits
+    np.testing.assert_allclose(dc, df, rtol=8e-3, atol=1e-3)

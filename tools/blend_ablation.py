@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from gsrt.core.config import RenderConfig
-from gsrt.models.gaussian_rt import (GaussianRayTracer, _project_for_binning,
+from gsrt.models.gaussian_rt import (GaussianRayTracer, _precompute_fm,
                                      fm_from_cloud)
+from gsrt.ops.gaussian import screen_extents_abc
 from gsrt.ops.splat_packed import blend_packed
 from gsrt.ops.tile_binning import build_tile_binning
 from gsrt.scene import random_cloud
@@ -43,9 +44,15 @@ def main():
 
     @jax.jit
     def build(fm):
-        cols = _project_for_binning(fm, camera, cfg)
+        depth, m2x, m2y, qa, qb, qc, in_front, cr, cg, cb = _precompute_fm(
+            fm, camera, cfg)
+        rx, ry = screen_extents_abc(qa, qb, qc, cfg.conic_mode, cfg.g_cutoff,
+                                    opacity=fm.opacity,
+                                    alpha_threshold=cfg.alpha_threshold)
+        alive = in_front & (fm.opacity > cfg.alpha_threshold)
         return build_tile_binning(
-            *cols, width=W, height=H, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            depth, m2x, m2y, qa, qb, qc, fm.opacity, cr, cg, cb, rx, ry,
+            alive, width=W, height=H, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
             chunk=cfg.pair_chunk, max_pairs=mp, expand_impl=cfg.expand_impl)
 
     binning = jax.block_until_ready(build(fm))
