@@ -91,6 +91,14 @@ class RenderConfig:
                                 # bytes at ~1e-3-class alpha error (the
                                 # reference's own exp-LUT granularity);
                                 # "f32" is the bit-parity tier
+    span_mode: Literal["rect", "ellipse"] = "rect"
+                                # pair generation: "rect" = one pair per
+                                # tile of the footprint's bounding box;
+                                # "ellipse" = per-tile-row x-spans of the
+                                # exact footprint ellipse (fewer pairs,
+                                # identical image — bbox-corner tiles
+                                # contain no above-threshold pixel). Needs
+                                # nty <= 255 (falls back to rect above)
     serving_super: int = 8      # tiles per supertile side for the serving
                                 # cutoff coarsening (gsrt.serving): smaller
                                 # = finer cull granularity, larger = cheaper

@@ -372,7 +372,7 @@ class ServingAux(NamedTuple):
 
 
 def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
-                 max_pairs: int = 1 << 20,
+                 max_pairs: int = 1 << 20, max_rows: int | None = None,
                  interpret: bool = False, cutoff_map=None,
                  serving: bool = False) -> RenderOutput:
     """Tile-binned splatting — the performance path (SURVEY.md §7.3 steps 4-6).
@@ -419,6 +419,9 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         ntx = -(-camera.width // tw)
         if ntx > 127:       # 7-bit x-span budget (ok through 2K at 16 px)
             compact = False
+    span_mode = cfg.span_mode
+    if span_mode == "ellipse" and -(-camera.height // th) > 255:
+        span_mode = "rect"  # 8-bit row-count budget (ok through 4K at 16px)
     binning = build_tile_binning(
         depth, m2x, m2y, qa, qb, qc, fm.opacity, cr, cg, cb, rx, ry, alive,
         width=camera.width, height=camera.height,
@@ -426,7 +429,9 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         chunk=cfg.pair_chunk, max_pairs=max_pairs,
         expand_impl=cfg.expand_impl, interpret=interpret,
         cutoff_map=cutoff_map, carry_depth=serving,
-        cull_super=cfg.serving_super, compact=compact)
+        cull_super=cfg.serving_super, compact=compact,
+        span_mode=span_mode, max_rows=max_rows,
+        g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold)
     # Materialize binning outputs before the Pallas call: fusing XLA ops
     # into the kernel's operands produced wrong layouts/garbage reads on
     # the TPU backend (kernel verified correct on materialized inputs).
@@ -615,6 +620,49 @@ def count_pairs_numpy(cloud: GaussianCloud, camera: Camera,
     """Host-side (pure NumPy) replica of `count_pairs` — used for pair-buffer
     sizing without compiling a second jax executable (see calibrate)."""
     import numpy as np
+    s = _spans_numpy(cloud, camera, cfg)
+    return int(s["touched"].sum())
+
+
+def count_rows_pairs_numpy(cloud: GaussianCloud, camera: Camera,
+                           cfg: RenderConfig) -> tuple[int, int]:
+    """Host-side (pairs, tile-row units) under the ellipse span rule —
+    sizes span_mode='ellipse' static buffers (tile_binning._build_ellipse;
+    the span math mirrors it exactly, incl. the 1e-3 px dilation)."""
+    import numpy as np
+    s = _spans_numpy(cloud, camera, cfg)
+    alive = s["touched"] > 0
+    x0, x1, y0, y1 = s["x0"], s["x1"], s["y0"], s["y1"]
+    rows = np.where(alive, y1 - y0 + 1, 0).astype(np.int64)
+    idx = np.repeat(np.arange(rows.shape[0]), rows)
+    off = np.cumsum(rows) - rows
+    ty = y0[idx] + (np.arange(idx.shape[0]) - off[idx])
+    qa = np.maximum(s["qa"][idx], 1e-12)
+    qb, qc = s["qb"][idx], s["qc"][idx]
+    det = np.maximum(qa * s["qc"][idx] - qb * qb, 1e-18)
+    g = s["g"][idx]
+    my, mx = s["py"][idx], s["px"][idx]
+    th, tw = cfg.tile_h, cfg.tile_w
+    dy_lo = ty * th - my
+    dy_hi = dy_lo + (th - 1)
+    dy0 = np.clip(0.0, dy_lo, dy_hi)
+    wmax = np.sqrt(np.maximum(2.0 * g * qa - det * dy0 * dy0, 0.0)) / qa \
+        + 1e-3
+    slope = qb / qa
+    xc_lo = mx - slope * dy_lo
+    xc_hi = mx - slope * dy_hi
+    dxmin = np.minimum(xc_lo, xc_hi) - wmax
+    dxmax = np.maximum(xc_lo, xc_hi) + wmax
+    tx0 = np.clip(np.floor(dxmin / tw), x0[idx], x1[idx])
+    tx1 = np.clip(np.floor(dxmax / tw), tx0, x1[idx])
+    return int((tx1 - tx0 + 1).sum()), int(rows.sum())
+
+
+def _spans_numpy(cloud: GaussianCloud, camera: Camera,
+                 cfg: RenderConfig) -> dict:
+    """Shared NumPy projection + rect tile spans for the host-side pair
+    counters (mirrors _precompute + screen_extents + compute_tile_spans)."""
+    import numpy as np
 
     TILE_W, TILE_H = cfg.tile_w, cfg.tile_h
     means = np.asarray(cloud.means)
@@ -672,7 +720,10 @@ def count_pairs_numpy(cloud: GaussianCloud, camera: Camera,
     on = ((px_c + rx >= 0) & (px_c - rx < W) &
           (py_c + ry >= 0) & (py_c - ry < H))
     touched = np.where(alive & on, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
-    return int(touched.sum())
+    return dict(px=px_c, py=py_c, qa=qa, qb=qb, qc=qc, g=g,
+                x0=x0.astype(np.int64), x1=x1.astype(np.int64),
+                y0=y0.astype(np.int64), y1=y1.astype(np.int64),
+                touched=touched.astype(np.int64))
 
 
 def pair_bucket(need: int) -> int:
@@ -702,6 +753,7 @@ class GaussianRayTracer:
         self.cfg = cfg
         self.mode = mode
         self.max_pairs = max_pairs
+        self.max_rows = None       # sized by calibrate() in ellipse mode
         self.interpret = interpret  # run the Pallas kernel interpreted (CPU)
         # defer_overflow=N>0: check frame i's overflow flag at frame i+N
         # instead of synchronously — keeps N frames in flight (the sync
@@ -722,18 +774,23 @@ class GaussianRayTracer:
             self._render = jax.jit(fn)
 
     def _tiled_fn(self, mp: int):
-        if mp not in self._tiled_cache:
-            self._tiled_cache[mp] = jax.jit(functools.partial(
+        key = (mp, self.max_rows)
+        if key not in self._tiled_cache:
+            self._tiled_cache[key] = jax.jit(functools.partial(
                 render_tiled, cfg=self.cfg, max_pairs=mp,
-                interpret=self.interpret))
-        return self._tiled_cache[mp]
+                max_rows=self.max_rows, interpret=self.interpret))
+        return self._tiled_cache[key]
 
     def calibrate(self, cloud: GaussianCloud, camera: Camera) -> int:
         # Pure-NumPy pair count: running ANY other sizable jax executable
         # (TPU or CPU backend) in the same process makes re-execution of the
         # render program fail with InvalidArgument on the axon TPU runtime,
         # so sizing must not go through jax at all.
-        total = int(count_pairs_numpy(cloud, camera, self.cfg))
+        if self.cfg.span_mode == "ellipse":
+            total, rows = count_rows_pairs_numpy(cloud, camera, self.cfg)
+            self.max_rows = pair_bucket(int(rows * 1.1))
+        else:
+            total = int(count_pairs_numpy(cloud, camera, self.cfg))
         # 10% slack + overflow re-render (below) beats fat safety margins
         self.max_pairs = pair_bucket(int(total * 1.1))
         return self.max_pairs

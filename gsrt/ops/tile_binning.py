@@ -291,6 +291,8 @@ def build_tile_binning(
     expand_impl: str = "xla", interpret: bool = False,
     with_ids: bool = False, cutoff_map=None, carry_depth: bool = False,
     cull_super: int = SUPER, compact: bool = False,
+    span_mode: str = "rect", max_rows: int | None = None,
+    g_cutoff: float = 5.6, alpha_threshold: float = 1.0 / 255.0,
 ) -> TileBinning:
     """Bin splats into per-tile, depth-sorted pair lists.
 
@@ -324,6 +326,19 @@ def build_tile_binning(
         keep = cutoff_cull(depth, x0, x1, y0, y1, cutoff_map, ntx, nty,
                            super_size=cull_super)
         touched = jnp.where(keep, touched, 0)
+
+    if span_mode == "ellipse":
+        # per-tile-ROW x-spans (ellipse-exact): its histogram must count
+        # the row spans, not the rect — built inside
+        assert not with_ids, "ellipse spans are forward-only (rect for VJP)"
+        return _build_ellipse(
+            depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb,
+            x0, x1, y0, y1, touched, ntx=ntx, nty=nty, T=T,
+            tile_w=tile_w, tile_h=tile_h, chunk=chunk, max_pairs=max_pairs,
+            max_rows=max_rows if max_rows is not None else max_pairs,
+            expand_impl=expand_impl, interpret=interpret,
+            carry_depth=carry_depth, compact=compact,
+            g_cutoff=g_cutoff, alpha_threshold=alpha_threshold)
 
     # --- per-tile pair counts → tile offsets, order-independent (MXU
     # rectangle histogram; replaces a searchsorted over the sorted pairs) ---
@@ -370,7 +385,24 @@ def build_tile_binning(
     from gsrt.ops.pair_expand import _DEAD_BASE
     base = jnp.where(touched_s > 0, offsets - touched_s, _DEAD_BASE)
 
-    # --- expand splats → pairs ---
+    return _finish_f32(
+        x0s, y0s, w_span, touched_s, base, m2x, m2y, qa, qb, qc, rgp, bop,
+        depth_s, orig_s, counts=counts, tile_start=tile_start, total=total,
+        overflow=overflow, ntx=ntx, T=T, chunk=chunk, max_pairs=max_pairs,
+        expand_impl=expand_impl, interpret=interpret,
+        carry_depth=carry_depth, with_ids=with_ids)
+
+
+def _finish_f32(
+    x0s, y0s, w_span, touched_s, base, m2x, m2y, qa, qb, qc, rgp, bop,
+    depth_s, orig_s, *, counts, tile_start, total, overflow, ntx, T,
+    chunk, max_pairs, expand_impl, interpret, carry_depth, with_ids,
+) -> TileBinning:
+    """f32-payload second half: expand depth-sorted UNITS (splats in rect
+    mode, tile-rows in ellipse mode — a unit covers w_span tiles starting
+    at (x0s, y0s), spanning 1 tile row when w_span == touched_s) to pairs,
+    tile-sort, build the feature-major payload."""
+    # --- expand units → pairs ---
     if expand_impl == "pallas":
         # streaming barrel-shift expansion at HBM bandwidth
         from gsrt.ops.pair_expand import TAB_ROWS, expand_pairs
@@ -476,6 +508,143 @@ def build_tile_binning(
     )
 
 
+def _build_ellipse(
+    depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb,
+    x0, x1, y0, y1, touched, *, ntx, nty, T, tile_w, tile_h, chunk,
+    max_pairs, max_rows, expand_impl, interpret, carry_depth, compact,
+    g_cutoff, alpha_threshold,
+) -> TileBinning:
+    """Ellipse-exact per-tile-row x-spans (ROADMAP #1c).
+
+    The rect path emits a pair for every tile in the footprint's bounding
+    box; the ellipse g(d) ≤ G fills only ~pi/4 of it (less when rotated
+    anisotropic), so bbox corners are pure overhead through expand, the
+    tile sort, and the blend kernel. Here splats first expand to TILE-ROW
+    units (one per footprint bbox row, level 1), each row computes its
+    exact x-interval of the ellipse over the row's pixel-y range, and the
+    existing unit→pair machinery (_finish_f32 / _finish_compact) runs on
+    the rows (a row is a w_span×1 rect, so the rank math degenerates to
+    tx = x0 + rank). Pairs whose tile the ellipse misses contain no pixel
+    with alpha above threshold, so the rendered image is IDENTICAL to
+    rect mode — only the pair count (and every per-pair cost) shrinks.
+
+    x-interval at pixel row y (conic Q = [[a,b],[b,c]], alpha-tightened
+    cutoff G recomputed by the screen_extents_abc formula): solving
+    a·dx² + 2b·dy·dx + c·dy² ≤ 2G for dx gives center -b·dy/a (linear in
+    dy, extremal at the row's ends) and half-width sqrt(2G·a - det·dy²)/a
+    (maximal at the dy closest to 0). Both bounds are evaluated in f32 and
+    dilated 1e-3 px before the floor-to-tile, then clamped to the rect
+    span.
+    """
+    assert nty <= 255, "ellipse spans pack the tile-row count in 8 bits"
+    from gsrt.ops.pair_expand import _DEAD_BASE
+
+    rows_n = jnp.where(touched > 0, y1 - y0 + 1, 0)
+
+    # --- level-0 carry-sort by camera depth (units = splats) ---
+    key = jnp.where(touched > 0, depth, jnp.inf)
+    xy0r = x0 | (y0 << 12) | (rows_n << 24)
+    wspan_touch = ((x1 - x0 + 1) << 20) | touched
+    carry = jax.lax.sort(
+        (key, xy0r, wspan_touch, m2x, m2y, qa_c, qb_c, qc_c,
+         pack15(cr, cg), pack15(cb, opacity),
+         jnp.where(touched > 0, opacity, 0.0)),
+        num_keys=1, is_stable=False)
+    (depth_s, xy0r, wspan_touch, m2x_s, m2y_s, qa_s, qb_s, qc_s, rgp, bop,
+     op_s) = carry
+    x0s = xy0r & 0xFFF
+    y0s = (xy0r >> 12) & 0xFFF
+    rows_s = jnp.where((wspan_touch & 0xFFFFF) > 0,
+                       (xy0r >> 24) & 0xFF, 0)
+    x1s = x0s + jnp.maximum(wspan_touch >> 20, 1) - 1
+
+    row_off = jnp.cumsum(rows_s)
+    rows_total = row_off[-1]
+    row_base = jnp.where(rows_s > 0, row_off - rows_s, _DEAD_BASE)
+
+    # --- level-1: expand splats → tile-row units (ONE 2D repeat) ---
+    bi = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    xgeo = x0s | (x1s << 12) | (y0s << 24)
+    tab = jnp.stack([bi(xgeo), bi(row_base), m2x_s, m2y_s,
+                     qa_s, qb_s, qc_s, op_s, rgp, bop, depth_s], axis=-1)
+    rrows = jnp.repeat(tab, rows_s, axis=0,
+                       total_repeat_length=max_rows)         # [MR, 11]
+    rgeo = jax.lax.bitcast_convert_type(rrows[:, 0], jnp.int32)
+    rbase = jax.lax.bitcast_convert_type(rrows[:, 1], jnp.int32)
+    rx0, rx1 = rgeo & 0xFFF, (rgeo >> 12) & 0xFFF
+    ry0 = (rgeo >> 24) & 0xFF
+    mx, my = rrows[:, 2], rrows[:, 3]
+    qa_r, qb_r, qc_r = rrows[:, 4], rrows[:, 5], rrows[:, 6]
+    op_r = rrows[:, 7]
+    rgp_r, bop_r, depth_r = rrows[:, 8], rrows[:, 9], rrows[:, 10]
+
+    rslot = jnp.arange(max_rows, dtype=jnp.int32)
+    rvalid = rslot < jnp.minimum(rows_total, max_rows)
+    ty = ry0 + (rslot - rbase)
+
+    # --- per-row exact x-interval of the ellipse (f32, pre-quantization) ---
+    det_r = jnp.maximum(qa_r * qc_r - qb_r * qb_r, 1e-18)
+    qa_p = jnp.maximum(qa_r, 1e-12)
+    # alpha-tightened cutoff, the same formula as screen_extents_abc so
+    # the row span never under-covers the rect machinery's footprint
+    g_row = jnp.minimum(
+        jnp.float32(g_cutoff),
+        jnp.maximum(jnp.log(jnp.maximum(op_r / alpha_threshold, 1e-6)),
+                    0.0))
+    dy_lo = ty.astype(jnp.float32) * tile_h - my
+    dy_hi = dy_lo + (tile_h - 1)
+    dy0 = jnp.clip(0.0, dy_lo, dy_hi)        # |dy| minimizer in the row
+    two_g_a = jnp.maximum(2.0 * g_row * qa_r, 0.0)
+    wmax = jnp.sqrt(jnp.maximum(two_g_a - det_r * dy0 * dy0, 0.0)) / qa_p \
+        + 1e-3
+    slope = qb_r / qa_p
+    xc_lo = mx - slope * dy_lo
+    xc_hi = mx - slope * dy_hi
+    dxmin = jnp.minimum(xc_lo, xc_hi) - wmax
+    dxmax = jnp.maximum(xc_lo, xc_hi) + wmax
+    tx0 = jnp.clip(jnp.floor(dxmin / tile_w).astype(jnp.int32), rx0, rx1)
+    tx1 = jnp.clip(jnp.floor(dxmax / tile_w).astype(jnp.int32), tx0, rx1)
+    span = jnp.where(rvalid, tx1 - tx0 + 1, 0)
+
+    # --- exact per-tile counts from the row spans (reuses the MXU
+    # rectangle histogram with degenerate 1-row rects) ---
+    counts = tile_histogram(tx0, tx1, ty, ty, span > 0, ntx, nty).reshape(T)
+    total = jnp.sum(span)
+    overflow = (rows_total > max_rows) | (total > max_pairs)
+    tile_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+    tile_start = jnp.minimum(tile_start, jnp.minimum(total, max_pairs))
+
+    pair_off = jnp.cumsum(span)
+    base = jnp.where(span > 0, pair_off - span, _DEAD_BASE)
+    w_span = jnp.maximum(span, 1)
+
+    if compact:
+        # pack at ROW level (post span math, f32 inputs — same packing as
+        # _build_compact does at splat level)
+        l11 = jnp.sqrt(jnp.maximum(qa_r, 1e-12))
+        l21 = qb_r / jnp.maximum(l11, 1e-12)
+        l22 = jnp.sqrt(jnp.maximum(qc_r - l21 * l21, 1e-12))
+        qab = pack_bf16_pair(l11, l21)
+        qcd = pack_bf16_pair(l22, jnp.where(rvalid, depth_r, 0.0))
+        return _finish_compact(
+            tx0, ty, w_span, span, base, mx, my, qab, qcd,
+            jax.lax.bitcast_convert_type(rgp_r, jnp.int32),
+            jax.lax.bitcast_convert_type(bop_r, jnp.int32),
+            counts=counts, tile_start=tile_start, total=total,
+            overflow=overflow, ntx=ntx, T=T, tile_w=tile_w, tile_h=tile_h,
+            chunk=chunk, max_pairs=max_pairs, expand_impl=expand_impl,
+            interpret=interpret, carry_depth=carry_depth)
+
+    return _finish_f32(
+        tx0, ty, w_span, span, base, mx, my, qa_r, qb_r, qc_r, rgp_r, bop_r,
+        jnp.where(rvalid, depth_r, jnp.inf), None,
+        counts=counts, tile_start=tile_start, total=total,
+        overflow=overflow, ntx=ntx, T=T, chunk=chunk, max_pairs=max_pairs,
+        expand_impl=expand_impl, interpret=interpret,
+        carry_depth=carry_depth, with_ids=False)
+
+
 def _build_compact(
     depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb,
     x0, x1, y0, y1, touched, *, ntx, nty, T, tile_w, tile_h, chunk,
@@ -522,6 +691,21 @@ def _build_compact(
     from gsrt.ops.pair_expand import _DEAD_BASE
     base = jnp.where(touched_s > 0, offsets - touched_s, _DEAD_BASE)
 
+    return _finish_compact(
+        x0s, y0s, w_span, touched_s, base, m2x_s, m2y_s, qab, qcd, rgp, bop,
+        counts=counts, tile_start=tile_start, total=total, overflow=overflow,
+        ntx=ntx, T=T, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+        max_pairs=max_pairs, expand_impl=expand_impl, interpret=interpret,
+        carry_depth=carry_depth)
+
+
+def _finish_compact(
+    x0s, y0s, w_span, touched_s, base, m2x_s, m2y_s, qab, qcd, rgp, bop,
+    *, counts, tile_start, total, overflow, ntx, T, tile_w, tile_h, chunk,
+    max_pairs, expand_impl, interpret, carry_depth,
+) -> TileBinning:
+    """Compact-payload second half over depth-sorted UNITS (splats in rect
+    mode, tile-rows in ellipse mode; see _finish_f32)."""
     # --- expand: ONE 8-row int table (mean stays f32-precise; it is
     # re-based to the pair's tile and quantized only after the tile is
     # known below) ---
