@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -176,20 +177,39 @@ int gsrt_parse_ply_rows(const char* data, long long n, int stride_f,
   const float* rows = reinterpret_cast<const float*>(data);
   const int rest_per_ch = n_rest / 3;
   const int use_rest = std::min(rest_per_ch, K - 1);
-  for (long long i = 0; i < n; ++i) {
-    const float* r = rows + i * stride_f;
-    means[i * 3 + 0] = r[off_xyz + 0];
-    means[i * 3 + 1] = r[off_xyz + 1];
-    means[i * 3 + 2] = r[off_xyz + 2];
-    for (int c = 0; c < 3; ++c) sh[(i * K + 0) * 3 + c] = r[off_dc + c];
-    for (int k = 0; k < use_rest; ++k)
-      for (int c = 0; c < 3; ++c)
-        sh[(i * K + 1 + k) * 3 + c] = r[off_rest + c * rest_per_ch + k];
-    opacity[i] = 1.0f / (1.0f + std::exp(-r[off_opacity]));
-    for (int a = 0; a < 3; ++a)
-      scales[i * 3 + a] = std::exp(r[off_scale + a]);
-    for (int a = 0; a < 4; ++a) quats[i * 4 + a] = r[off_rot + a];
+  auto parse_range = [&](long long lo, long long hi) {
+    for (long long i = lo; i < hi; ++i) {
+      const float* r = rows + i * stride_f;
+      means[i * 3 + 0] = r[off_xyz + 0];
+      means[i * 3 + 1] = r[off_xyz + 1];
+      means[i * 3 + 2] = r[off_xyz + 2];
+      for (int c = 0; c < 3; ++c) sh[(i * K + 0) * 3 + c] = r[off_dc + c];
+      for (int k = 0; k < use_rest; ++k)
+        for (int c = 0; c < 3; ++c)
+          sh[(i * K + 1 + k) * 3 + c] = r[off_rest + c * rest_per_ch + k];
+      opacity[i] = 1.0f / (1.0f + std::exp(-r[off_opacity]));
+      for (int a = 0; a < 3; ++a)
+        scales[i * 3 + a] = std::exp(r[off_scale + a]);
+      for (int a = 0; a < 4; ++a) quats[i * 4 + a] = r[off_rot + a];
+    }
+  };
+  // rows are independent and output ranges disjoint — split across cores
+  // (the 1.24 GB / 5M-splat scene parsed serially was the load-time
+  // bottleneck; see README scale notes)
+  const unsigned hw = std::thread::hardware_concurrency();
+  const long long n_threads =
+      std::min<long long>(std::max(1u, hw), std::max(1ll, n / (1ll << 16)));
+  if (n_threads <= 1) {
+    parse_range(0, n);
+    return 0;
   }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  const long long step = (n + n_threads - 1) / n_threads;
+  for (long long t = 0; t < n_threads; ++t)
+    pool.emplace_back(parse_range, t * step,
+                      std::min(n, (t + 1) * step));
+  for (auto& th : pool) th.join();
   return 0;
 }
 
