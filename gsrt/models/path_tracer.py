@@ -445,7 +445,8 @@ def generate_camera_rays(key, camera: Camera, cfg: RenderConfig,
 def render_path_traced(scene: PrimitiveScene, camera: Camera,
                        cfg: RenderConfig, seed: int = 0,
                        aperture: float = 0.0, focus: float = 1.0,
-                       gaussians=None):
+                       gaussians=None, gauss_clusters=None,
+                       gauss_s_max: int = 48, gauss_rb: int = 256):
     """Full path trace: [H,W,3] linear color (sqrt-gamma'd if configured,
     RayTracing.rgen:87-93).
 
@@ -454,21 +455,31 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
     scene with triangles and procedurals (Application.cpp:253-398). Every
     bounce segment composites through the cloud: splat in-scatter is added
     and the segment's transmittance attenuates the throughput, so splats
-    are seen by primary, reflected and refracted rays alike."""
+    are seen by primary, reflected and refracted rays alike.
+
+    gauss_clusters: optional prebuilt SplatClusters
+    (ops.splat_clusters.build_splat_clusters, the splat-BLAS analogue;
+    build once per scene outside jit) — bounce segments then trace through
+    visited clusters only instead of O(R·N) over the whole cloud.
+    gauss_s_max bounds candidate super-clusters per gauss_rb-ray block;
+    blocks past it silently drop the Morton-latest clusters (size it from
+    plan_visits on a probe bundle, the max_pairs calibration pattern)."""
     from gsrt.models.gaussian_rt import trace_gaussian_rays
     from gsrt.ops.sh import eval_sh
+    from gsrt.ops.splat_clusters import trace_gaussian_rays_clustered
 
     H, W = camera.height, camera.width
     R = H * W
     key = jax.random.PRNGKey(seed)
 
     gauss_colors = None
-    if gaussians is not None:
+    if gaussians is not None and gauss_clusters is None:
         vdirs = gaussians.means - camera.position[None, :]
         vdirs = vdirs / jnp.maximum(
             jnp.linalg.norm(vdirs, axis=-1, keepdims=True), 1e-9)
         gauss_colors = eval_sh(gaussians.sh, vdirs,
                                min(cfg.sh_degree, gaussians.sh_degree))
+    has_gauss = gaussians is not None or gauss_clusters is not None
 
     def one_sample(key):
         kr, kb = jax.random.split(key)
@@ -483,14 +494,19 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
             t, n, mat, hit, uv = _closest_hit_cutout(scene, orig, dirn,
                                                      cfg.t_min, cfg.t_max)
 
-            if gaussians is not None:
+            if has_gauss:
                 # composite the bounce segment through the splat medium:
                 # radiance toward the segment origin = splat in-scatter +
                 # T_gauss * (surface/sky term); throughput picks up T_gauss
                 seg_tmax = jnp.where(hit, t, cfg.t_max)
-                g_trans, g_color, _ = trace_gaussian_rays(
-                    gaussians, orig, dirn, cfg, colors=gauss_colors,
-                    t_max=seg_tmax)
+                if gauss_clusters is not None:
+                    g_trans, g_color, _, _ = trace_gaussian_rays_clustered(
+                        gauss_clusters, orig, dirn, cfg, t_max=seg_tmax,
+                        rb=gauss_rb, s_max=gauss_s_max)
+                else:
+                    g_trans, g_color, _ = trace_gaussian_rays(
+                        gaussians, orig, dirn, cfg, colors=gauss_colors,
+                        t_max=seg_tmax)
                 out_color = out_color + jnp.where(
                     active[:, None], ray_color * g_color, 0.0)
                 ray_color = jnp.where(active[:, None],

@@ -65,6 +65,14 @@ def main():
         ms = timeit(fn, binning) * 1e3
         print(f"{mode or 'full':>8}: {ms:7.2f} ms")
 
+    # scan_impl tiers (full kernel, exclusive-cumprod variants)
+    for scan in ["roll", "logmm"]:
+        fn = jax.jit(lambda b, s=scan: blend_packed(
+            b, width=W, height=H, sub_w=cfg.tile_w, sub_h=cfg.tile_h,
+            bs=cfg.blend_bs, skip_range_check=True, scan_impl=s))
+        ms = timeit(fn, binning) * 1e3
+        print(f"scan:{scan:>6}: {ms:7.2f} ms")
+
 
 if __name__ == "__main__":
     main()
