@@ -63,7 +63,10 @@ class RenderConfig:
     pair_chunk: int = 128       # pairs per kernel chunk (multiple of 128;
                                 # subtile kernel wants 128; the 128x8 kernel
                                 # measured best at 384)
-    expand_impl: Literal["pallas", "xla"] = "pallas"
+    expand_impl: Literal["pallas", "xla", "fused"] = "pallas"
+                                # "fused": pallas expansion with the
+                                # pair->source merge computed in-kernel
+                                # (drops the two dense merge sorts)
                                 # pair expansion: Pallas barrel-shift kernel
                                 # (fast) or XLA jnp.repeat (fallback)
     blend_impl: Literal["packed", "subtile"] = "packed"

@@ -113,6 +113,22 @@ def _expand_kernel(
     out_ref[...] = pltpu.bitcast(y[:, 128:128 + C], jnp.float32)
 
 
+def _rank_at(base_c: jnp.ndarray, queries: jnp.ndarray,
+             vmax: int) -> jnp.ndarray:
+    """rank[i] = #{j: base_c[j] <= queries[i]} - 1 (so -1 before the first
+    base). Same two packed single-operand sorts as _merge_rank, but over
+    n + len(queries) rows — used for COARSE ranks (~3% of the rows the
+    dense merge pays). queries must be sorted ascending, in [0, vmax)."""
+    nq = queries.shape[0]
+    packed = jnp.concatenate([base_c * 2, queries * 2 + 1])
+    p1 = jax.lax.sort(packed, is_stable=False)
+    is_query = p1 & 1
+    ranks = jnp.cumsum(1 - is_query) - 1          # may be -1: no base yet
+    packed2 = ((1 - is_query) << 30) | (ranks + 1)  # keep ranks >= 0
+    p2 = jax.lax.sort(packed2, is_stable=False)
+    return (p2[:nq] & ((1 << 30) - 1)) - 1
+
+
 def _merge_rank(base: jnp.ndarray, mp: int, n: int) -> jnp.ndarray:
     """s[p] = clip(#{j: base[j] <= p} - 1, 0, n-1) for p in [0, mp).
 
@@ -141,6 +157,121 @@ def _merge_rank(base: jnp.ndarray, mp: int, n: int) -> jnp.ndarray:
     packed2 = ((1 - is_query) << 30) | ranks     # splats flagged to the top
     p2 = jax.lax.sort(packed2, is_stable=False)
     return jnp.clip(p2[:mp] & ((1 << 30) - 1), 0, n - 1).astype(jnp.int32)
+
+
+def _expand_fused_kernel(
+    # scalar prefetch
+    coarse_ref,            # [TP + 2] int32: s at pair (i-1)*128 (entry 0
+                           # covers the -128 prefix tile; clamped >= 0)
+    src_start_ref,         # [G] int32: 128-aligned first table col, chunk g
+    # inputs
+    tabf_hbm,              # [rows, N_pad] f32 feature-major table
+    baset_hbm,             # [128, NT] int32: base TRANSPOSED — column c =
+                           # bases [c*128, (c+1)*128) down the sublanes
+    # outputs
+    out_ref,               # [rows, C] VMEM
+    # scratch
+    tbuf,                  # [2, rows, W] VMEM f32
+    bbuf,                  # [2, 128, BW] VMEM int32 (transposed base cols)
+    dbuf,                  # [1, W] VMEM int32 (shift distances)
+    sem,                   # DMA semaphores (2, 2)
+    *,
+    chunk: int, window: int,
+):
+    """expand_pairs with the pair->source merge computed IN the kernel.
+
+    The XLA path pays two single-operand sorts over N + max_pairs rows
+    (_merge_rank) to hand the kernel a dense s(p) row. But s is monotone
+    with unit steps, so within one 128-pair output tile starting at pair
+    p_t with known s_t = s(p_t), the only candidate sources are the next
+    128 splats, and  s(p) = s_t + #{j: p_t < base_j <= p}  — a pure VALUE
+    count against <=256 base entries. The count wants its result along
+    LANES (the shifter's axis) while the compare wants bases along
+    SUBLANES; loading the base array PRE-TRANSPOSED (an XLA transpose,
+    cheap outside Pallas) makes the count a sublane reduction that lands
+    lane-major with no in-kernel transpose. Coarse s at 128-pair
+    granularity rides in as prefetched scalars (one ~N+TP-row sort, ~3%
+    the rows of the two merge sorts this replaces).
+    """
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+    C, W = chunk, window
+    TILES = W // 128           # prefix tile + C/128 chunk tiles
+
+    def dma_t(slot, gi):
+        col = pl.multiple_of(src_start_ref[gi], 128)
+        return pltpu.make_async_copy(
+            tabf_hbm.at[:, pl.ds(col, W)], tbuf.at[slot], sem.at[slot, 0])
+
+    def dma_b(slot, gi):
+        # transposed-base columns covering table cols
+        # [col - 128, col + W + 256): one column earlier for the prefix
+        # tile's candidates, a spare at the end for strip overreach
+        bs = jnp.maximum(src_start_ref[gi] // 128 - 1, 0)
+        return pltpu.make_async_copy(
+            baset_hbm.at[:, pl.ds(bs, W // 128 + 3)],
+            bbuf.at[slot], sem.at[slot, 1])
+
+    @pl.when(g == 0)
+    def _():
+        dma_t(0, 0).start()
+        dma_b(0, 0).start()
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g + 1 < ng)
+    def _():
+        dma_t(1 - slot, g + 1).start()
+        dma_b(1 - slot, g + 1).start()
+
+    dma_t(slot, g).wait()
+    dma_b(slot, g).wait()
+
+    col0 = src_start_ref[g]
+    bstart = jnp.maximum(col0 // 128 - 1, 0)
+    bw = bbuf[slot]                                  # (128, BW)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def tile_body(t, _):
+        # global pair tile index; tile t covers pairs [p_t, p_t + 128)
+        p_t = (g * C - 128) + t * 128
+        s_t = coarse_ref[g * (C // 128) + t]
+        # 256-candidate base strip, sublane-major: columns floor(s_t/128)
+        # and +1 of the transposed base window
+        # bbuf columns start one 128-block BEFORE col0 (bstart) so the
+        # PREFIX tile's true candidates (s >= col0 - 128) are reachable —
+        # wrong prefix s would break the shifter's global monotone
+        # unit-step invariant that real lanes read through
+        cb = (s_t - bstart * 128) // 128
+        cb = jnp.clip(cb, 0, bw.shape[1] - 2)
+        strip = jax.lax.concatenate(
+            [jax.lax.dynamic_slice_in_dim(bw, cb, 1, axis=1),
+             jax.lax.dynamic_slice_in_dim(bw, cb + 1, 1, axis=1)],
+            0)                                       # (256, 1)
+        p_lane = p_t + lane128                       # (1, 128)
+        cnt = jnp.sum(((strip > p_t) & (strip <= p_lane)
+                       ).astype(jnp.int32), axis=0, keepdims=True)
+        s_lane = s_t + cnt                           # (1, 128) global s
+        q_lane = t * 128 + lane128                   # window lane index
+        s_w = jnp.minimum(jnp.maximum(s_lane - col0, 0), q_lane)
+        d = q_lane - s_w
+        dbuf[0:1, pl.ds(t * 128, 128)] = d
+        return _
+
+    jax.lax.fori_loop(0, TILES, tile_body, 0)
+
+    y = pltpu.bitcast(tbuf[slot], jnp.int32)         # (rows, W)
+    d = dbuf[0:1, :]                                 # (1, W)
+
+    b = 1
+    while b * 2 < W:
+        b *= 2
+    while b >= 1:
+        take = (d & b) != 0
+        y = jnp.where(take, pltpu.roll(y, shift=b, axis=1), y)
+        b //= 2
+
+    out_ref[...] = pltpu.bitcast(y[:, 128:128 + C], jnp.float32)
 
 
 def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
@@ -220,4 +351,78 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
         out_shape=jax.ShapeDtypeStruct((rows, mp_pad), jnp.float32),
         interpret=interpret,
     )(src_start, tabf, srow)
+    return out[:, :max_pairs] if mp_pad != max_pairs else out
+
+
+def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
+                       *, chunk: int = 16384,
+                       interpret: bool = False) -> jnp.ndarray:
+    """`expand_pairs` with the dense pair→source merge moved INTO the
+    kernel (_expand_fused_kernel): replaces the two N+max_pairs-row merge
+    sorts with one small coarse-rank sort (N + max_pairs/128 rows) plus
+    in-kernel 256-candidate value counts. Same contract as expand_pairs.
+    """
+    rows = tabf.shape[0]
+    assert rows % 8 == 0, "table rows must fill whole f32 sublane tiles"
+    assert chunk % 128 == 0
+    chunk = min(chunk, max(128, (max_pairs // 128) * 128))
+    mp_pad = -(-max_pairs // chunk) * chunk
+    N = tabf.shape[1]
+    W = chunk + 128
+    G = mp_pad // chunk
+    TP = mp_pad // 128
+
+    # pad the table so any aligned window read stays in bounds
+    n_pad = W + ((-N) % 128)
+    tabf = jnp.pad(tabf, ((0, 0), (0, n_pad)))
+    n_tot = N + n_pad
+
+    # value-clamped bases: dead sentinels become mp_pad (> any pair id, so
+    # the in-kernel value test never counts them)
+    base_c = jnp.minimum(base, mp_pad)
+    # TRANSPOSED base array: baseT[l, c] = base_c[c*128 + l] — one XLA
+    # transpose so strips load sublane-major in the kernel (cheap here,
+    # a relayout nightmare in Mosaic). +3 spare columns for strip/window
+    # overreach past the last real splat.
+    bt_cols = n_tot // 128 + 3
+    base_pad = jnp.full((bt_cols * 128,), mp_pad, jnp.int32)
+    base_pad = jax.lax.dynamic_update_slice_in_dim(base_pad, base_c, 0, 0)
+    baset = base_pad.reshape(bt_cols, 128).T         # [128, bt_cols]
+
+    # coarse ranks: coarse[i] = s((i-1)*128); entry 0 (pair -128) = -1
+    qs = jnp.arange(TP + 1, dtype=jnp.int32) * 128   # pairs 0,128,...
+    coarse = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32),
+         _rank_at(base_c, qs, mp_pad * 2).astype(jnp.int32),
+         jnp.zeros((1,), jnp.int32)])                # [TP + 3]
+    # first table column of chunk g: s at pair g*C, floored to 128
+    s_chunk = coarse[jnp.arange(G, dtype=jnp.int32) * (chunk // 128) + 1]
+    src_start = (jnp.maximum(s_chunk, 0) // 128) * 128
+
+    tabf, baset, coarse, src_start = jax.lax.optimization_barrier(
+        (tabf, baset, coarse, src_start))
+
+    kernel = functools.partial(_expand_fused_kernel, chunk=chunk, window=W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((rows, chunk),
+                               index_map=lambda g, c, ss: (0, g)),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, W), jnp.float32),
+            pltpu.VMEM((2, 128, W // 128 + 3), jnp.int32),
+            pltpu.VMEM((1, W), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, mp_pad), jnp.float32),
+        interpret=interpret,
+    )(coarse, src_start, tabf, baset)
     return out[:, :max_pairs] if mp_pad != max_pairs else out

@@ -403,17 +403,20 @@ def _finish_f32(
     at (x0s, y0s), spanning 1 tile row when w_span == touched_s) to pairs,
     tile-sort, build the feature-major payload."""
     # --- expand units → pairs ---
-    if expand_impl == "pallas":
-        # streaming barrel-shift expansion at HBM bandwidth
-        from gsrt.ops.pair_expand import TAB_ROWS, expand_pairs
+    if expand_impl in ("pallas", "fused"):
+        # streaming barrel-shift expansion at HBM bandwidth; "fused"
+        # additionally computes the pair->source merge in-kernel
+        from gsrt.ops.pair_expand import (TAB_ROWS, expand_pairs,
+                                          expand_pairs_fused)
+        ep = expand_pairs_fused if expand_impl == "fused" else expand_pairs
         feats_n = [m2x, m2y, qa, qb, qc, rgp, bop]
         geom_n = [x0s, y0s, w_span, base]
         tabf = jnp.stack(
             [jax.lax.bitcast_convert_type(a, jnp.float32) for a in geom_n]
             + feats_n + [depth_s]
             + [jnp.zeros_like(m2x)] * (TAB_ROWS - 12), axis=0)   # [16, N]
-        rowsf = expand_pairs(tabf, base, max_pairs,
-                             interpret=interpret)               # [16, MP]
+        rowsf = ep(tabf, base, max_pairs,
+                   interpret=interpret)                         # [16, MP]
         geom = jax.lax.bitcast_convert_type(rowsf[:4], jnp.int32)
         gx0, gy0, gw, gbase = geom[0], geom[1], geom[2], geom[3]
         pair_feats = [rowsf[4 + i] for i in range(N_FEATURES)]
@@ -714,12 +717,13 @@ def _finish_compact(
                 jax.lax.bitcast_convert_type(m2x_s, jnp.int32),
                 jax.lax.bitcast_convert_type(m2y_s, jnp.int32),
                 qab, qcd, rgp, bop]
-    if expand_impl == "pallas":
-        from gsrt.ops.pair_expand import expand_pairs
+    if expand_impl in ("pallas", "fused"):
+        from gsrt.ops.pair_expand import expand_pairs, expand_pairs_fused
+        ep = expand_pairs_fused if expand_impl == "fused" else expand_pairs
         tabf = jax.lax.bitcast_convert_type(
             jnp.stack(tab_rows, axis=0), jnp.float32)        # [8, N]
         e = jax.lax.bitcast_convert_type(
-            expand_pairs(tabf, base, max_pairs, interpret=interpret),
+            ep(tabf, base, max_pairs, interpret=interpret),
             jnp.int32)                                       # [8, MP]
         e0, gbase = e[0], e[1]
         m2xp, m2yp, qabp, qcdp, rgpp, bopp = (e[i] for i in range(2, 8))

@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from gsrt.ops.pair_expand import expand_pairs, TAB_ROWS, _DEAD_BASE
+from gsrt.ops.pair_expand import (expand_pairs, expand_pairs_fused,
+                                  TAB_ROWS, _DEAD_BASE)
 
 
 def _run_case(touched, chunk, max_pairs, seed=0):
@@ -29,15 +30,16 @@ def _run_case(touched, chunk, max_pairs, seed=0):
     tabf = np.concatenate(
         [feats, np.zeros((TAB_ROWS - 11, n), np.float32)], 0)
 
-    out = jax.jit(lambda t, b: expand_pairs(
-        t, b, max_pairs, chunk=chunk, interpret=True))(
-            jnp.asarray(tabf), jnp.asarray(base))
-    out = np.asarray(out)
-
     total = int(offsets[-1]) if n else 0
     total = min(total, max_pairs)
     ref = np.repeat(feats.T, touched, axis=0).T[:, :total]
-    np.testing.assert_array_equal(out[:11, :total], ref)
+    for ep in (expand_pairs, expand_pairs_fused):
+        out = jax.jit(lambda t, b, ep=ep: ep(
+            t, b, max_pairs, chunk=chunk, interpret=True))(
+                jnp.asarray(tabf), jnp.asarray(base))
+        out = np.asarray(out)
+        np.testing.assert_array_equal(out[:11, :total], ref,
+                                      err_msg=ep.__name__)
     return total
 
 
@@ -107,3 +109,21 @@ def test_binning_parity_pallas_vs_xla():
         outs[impl] = (np.asarray(b.payload), np.asarray(b.tile_start))
     np.testing.assert_array_equal(outs["pallas"][1], outs["xla"][1])
     np.testing.assert_array_equal(outs["pallas"][0], outs["xla"][0])
+
+
+def test_fused_end_to_end_render():
+    """expand_impl='fused' through the full tiled render must be
+    bit-identical to 'pallas' (same table, same payload packing; only the
+    pair->source merge computation differs)."""
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.gaussian_rt import render_tiled
+    from gsrt.scene.catalog import random_cloud
+    cloud, camera = random_cloud(800, seed=5, width=128, height=96)
+    base = RenderConfig(width=128, height=96, conic_mode="standard",
+                        tile_w=16, tile_h=16, blend_impl="packed",
+                        expand_impl="pallas")
+    a = render_tiled(cloud, camera, base, max_pairs=1 << 15, interpret=True)
+    b = render_tiled(cloud, camera, base.replace(expand_impl="fused"),
+                     max_pairs=1 << 15, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b.color), np.asarray(a.color))
+    np.testing.assert_array_equal(np.asarray(b.trans), np.asarray(a.trans))
