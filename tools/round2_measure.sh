@@ -11,8 +11,9 @@ mkdir -p /tmp/r2m
 # 0. sanity: parity + repeat-execution + default-perf on the real chip
 timeout 1200 python tools/tpu_smoke.py 2>&1 | tee /tmp/r2m/smoke.log | tail -5
 
-# 1. payload tiers (f32 vs compact) at the headline workload
-timeout 1200 python tools/payload_compare.py 2>&1 | tee /tmp/r2m/payload.log | tail -6
+# 1. full tier sweep (expand x payload x span x scan) at the headline
+#    workload — the ranked table picks the new defaults
+timeout 2400 python tools/tier_compare.py 2>&1 | tee /tmp/r2m/tiers.log | tail -22
 
 # 2. scan impls + stage ablations inside the packed kernel
 timeout 1200 python tools/blend_ablation.py 2>&1 | tee /tmp/r2m/scan.log | tail -10
