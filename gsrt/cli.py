@@ -44,7 +44,11 @@ def cmd_render(args) -> int:
                        samples=args.samples,
                        conic_mode="reference" if args.reference_conic
                        else "standard",
-                       use_exp_lut=args.exp_lut, k=args.k)
+                       use_exp_lut=args.exp_lut, k=args.k,
+                       expand_impl=getattr(args, "expand_impl", "pallas"),
+                       payload=getattr(args, "payload", "f32"),
+                       span_mode=getattr(args, "span_mode", "rect"),
+                       scan_impl=getattr(args, "scan_impl", "roll"))
     if args.ply:
         from gsrt.scene.ply import load_gaussian_ply
         cloud = load_gaussian_ply(args.ply)
@@ -448,6 +452,14 @@ def main(argv=None) -> int:
     p.add_argument("--reference-conic", action="store_true")
     p.add_argument("--heatmap", type=str, default=None,
                    help="write per-pixel cost heatmap PNG (Heatmap.glsl analogue)")
+    p.add_argument("--expand-impl", choices=["pallas", "xla", "fused"],
+                   default="pallas", help="pair-expansion implementation")
+    p.add_argument("--payload", choices=["f32", "compact"], default="f32",
+                   help="pair-payload tier (compact = fast, ~1e-3 error)")
+    p.add_argument("--span-mode", choices=["rect", "ellipse"],
+                   default="rect", help="footprint pair-generation rule")
+    p.add_argument("--scan-impl", choices=["roll", "logmm"], default="roll",
+                   help="blend-kernel transmittance scan")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("pt", help="path tracing workloads")
