@@ -89,7 +89,8 @@ def cmd_render(args) -> int:
     if args.stats:
         st = RenderStats(width=args.width, height=args.height,
                          samples=args.samples, n_splats=cloud.n)
-        st.from_output(out).finish(dt)
+        st.from_output(out, hits_granularity=(
+            "tile-pairs" if args.mode == "tiled" else "pixel")).finish(dt)
         print(st.to_json())
     else:
         print(f"{dt * 1e3:.1f} ms  "

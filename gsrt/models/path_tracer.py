@@ -149,12 +149,18 @@ def _tri_uv(scene, i, u, v):
             + v[:, None] * scene.tri_uv2[i])
 
 
-def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
+def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
+                 tri_override=None):
     """Nearest hit across all primitive types.
 
     Returns (t [R], normal [R,3], mat_id [R], hit [R], uv [R,2] or None).
     uv is the texture coordinate at the hit (triangle texcoords when the
-    mesh has them, equirectangular sphere UV otherwise)."""
+    mesh has them, equirectangular sphere UV otherwise).
+
+    tri_override: optional precomputed (t [R], tri_id [R]) for the
+    triangle part — the binned primary cast (ops.tri_binning) hands its
+    result in here so bounce 0 skips traversal entirely; misses are
+    (+inf-class t, _ID_SENTINEL)."""
     R = orig.shape[0]
     best_t = jnp.full((R,), jnp.inf)
     best_n = jnp.zeros((R, 3))
@@ -188,7 +194,33 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
         if best_uv is not None:
             best_uv = jnp.where(upd[:, None], sphere_uv(n), best_uv)
 
-    if scene.tri_table is not None:
+    if tri_override is not None:
+        from gsrt.ops.tri_binning import _ID_SENTINEL
+        ti_raw, i = tri_override
+        miss = i == _ID_SENTINEL
+        i = jnp.minimum(i, scene.tri_v0.shape[0] - 1)
+        ti = jnp.where(miss, jnp.inf, ti_raw)
+        v0 = scene.tri_v0[i]
+        v1 = scene.tri_v1[i]
+        v2 = scene.tri_v2[i]
+        n = triangle_normal(v0, v1, v2)
+        n = jnp.where(jnp.sum(n * dirn, -1, keepdims=True) > 0, -n, n)
+        upd = ti < best_t
+        best_t = jnp.where(upd, ti, best_t)
+        best_n = jnp.where(upd[:, None], n, best_n)
+        best_m = jnp.where(upd, scene.tri_mat[i], best_m)
+        if best_uv is not None:
+            e1 = v1 - v0
+            e2 = v2 - v0
+            pvec = jnp.cross(dirn, e2)
+            det = jnp.sum(e1 * pvec, -1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvec = orig - v0
+            u = jnp.sum(tvec * pvec, -1) * inv_det
+            v = jnp.sum(dirn * jnp.cross(tvec, e1), -1) * inv_det
+            best_uv = jnp.where(upd[:, None], _tri_uv(scene, i, u, v),
+                                best_uv)
+    elif scene.tri_table is not None:
         from gsrt.ops.tri_kernel import closest_hit_packed
         tt = scene.tri_table
         ti, slot, _, _ = closest_hit_packed(tt, orig, dirn, t_min, t_max)
@@ -446,7 +478,10 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
                        cfg: RenderConfig, seed: int = 0,
                        aperture: float = 0.0, focus: float = 1.0,
                        gaussians=None, gauss_clusters=None,
-                       gauss_s_max: int = 48, gauss_rb: int = 256):
+                       gauss_s_max: int = 48, gauss_rb: int = 256,
+                       primary_impl: str = "block",
+                       tri_max_pairs: int = 1 << 20,
+                       interpret: bool = False):
     """Full path trace: [H,W,3] linear color (sqrt-gamma'd if configured,
     RayTracing.rgen:87-93).
 
@@ -463,7 +498,13 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
     visited clusters only instead of O(R·N) over the whole cloud.
     gauss_s_max bounds candidate super-clusters per gauss_rb-ray block;
     blocks past it silently drop the Morton-latest clusters (size it from
-    plan_visits on a probe bundle, the max_pairs calibration pattern)."""
+    plan_visits on a probe bundle, the max_pairs calibration pattern).
+
+    primary_impl="binned": bounce-0 triangle hits come from the
+    screen-tile binned cast (ops.tri_binning — the rasterizer-shaped
+    primary path) instead of traversal; requires aperture == 0, no alpha
+    cutouts, and a triangle scene. tri_max_pairs sizes its static pair
+    buffer (truncates past it — size with slack)."""
     from gsrt.models.gaussian_rt import trace_gaussian_rays
     from gsrt.ops.sh import eval_sh
     from gsrt.ops.splat_clusters import trace_gaussian_rays_clustered
@@ -481,6 +522,17 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
                                min(cfg.sh_degree, gaussians.sh_degree))
     has_gauss = gaussians is not None or gauss_clusters is not None
 
+    tri_binning = None
+    if primary_impl == "binned":
+        from gsrt.ops.tri_binning import build_tri_binning, cast_primary
+        assert aperture == 0.0, "binned primary needs a shared ray origin"
+        assert scene.alpha_textures is None, \
+            "binned primary does not run any-hit cutouts"
+        assert scene.tri_v0.shape[0] > 0, "binned primary needs triangles"
+        tri_binning = build_tri_binning(
+            scene.tri_v0, scene.tri_v1, scene.tri_v2, camera,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h, max_pairs=tri_max_pairs)
+
     def one_sample(key):
         kr, kb = jax.random.split(key)
         orig, dirn = generate_camera_rays(kr, camera, cfg, aperture, focus)
@@ -488,11 +540,16 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
         out_color = jnp.zeros((R, 3))
         active = jnp.ones((R,), bool)
 
-        def bounce(b, state):
+        def bounce(b, state, tri_override=None):
             key, orig, dirn, ray_color, out_color, active = state
             key, ks = jax.random.split(key)
-            t, n, mat, hit, uv = _closest_hit_cutout(scene, orig, dirn,
-                                                     cfg.t_min, cfg.t_max)
+            if tri_override is not None:
+                t, n, mat, hit, uv = _closest_hit(
+                    scene, orig, dirn, cfg.t_min, cfg.t_max,
+                    tri_override=tri_override)
+            else:
+                t, n, mat, hit, uv = _closest_hit_cutout(
+                    scene, orig, dirn, cfg.t_min, cfg.t_max)
 
             if has_gauss:
                 # composite the bounce segment through the splat medium:
@@ -545,7 +602,18 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
             return key, orig, dirn, ray_color, out_color, active
 
         state = (kb, orig, dirn, ray_color, out_color, active)
-        state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
+        if tri_binning is not None:
+            from gsrt.ops.tri_binning import cast_primary
+            t_bin, id_bin = cast_primary(
+                tri_binning, dirn, camera.position,
+                width=W, height=H, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret)
+            state = bounce(0, state,
+                           tri_override=(t_bin.reshape(-1),
+                                         id_bin.reshape(-1)))
+            state = jax.lax.fori_loop(1, cfg.bounces, bounce, state)
+        else:
+            state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
         # rays exceeding the bounce limit gather no light (rgen:56-60)
         return state[4]
 

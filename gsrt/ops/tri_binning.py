@@ -1,0 +1,402 @@
+"""Screen-tile binned PRIMARY-ray triangle casting.
+
+The splat path's thesis (tile_binning.py) applied to triangle meshes: a
+camera ray's candidate set is exactly the triangles whose projected AABB
+covers its pixel, so instead of per-ray BVH traversal (the reference's
+traceRay stack machine, vulkan_ray_tracing.cc:422-1171) we bin projected
+triangle rects to screen tiles with one global sort and run a dense
+closest-hit Pallas kernel per tile segment. Closest-hit is EASIER than
+splat blending: min-folding is order-free (no transmittance scan), and
+depth-sorting the pairs (by nearest-vertex camera z) restores the
+early-exit a BVH gets from t-ordering — once every pixel of a tile has a
+hit nearer than a chunk's minimum possible t, the remaining chunks are
+skipped (the rasterizer-with-z-prepass shape, TPU-native).
+
+Scope: PRIMARY bundles (one ray per pixel, shared origin — aperture-free
+camera rays). Secondary bounces keep the packed-cluster traversal
+(ops.tri_kernel); any-hit alpha cutout stays on the brute path.
+
+Payload (f32 rows, depth-grouped by tile like the splat payload):
+  0-2 v0.xyz  3-5 e1.xyz  6-8 e2.xyz  9 triangle id (int32 bitcast)
+  10 zmin (nearest-vertex camera z — the early-exit key)  11-15 pad
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsrt.ops.tile_binning import TileBinning, tile_extent
+
+TRI_PAY = 16   # payload rows (11 used, padded to two sublane tiles)
+_INF = 3.4e38            # python literals: jnp scalars would be
+_ID_SENTINEL = 0x7FFFFFFF  # captured as consts by pallas_call
+
+
+def build_tri_binning(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
+                      max_pairs: int, chunk: int = 128,
+                      jitter_pad: float = 1.0) -> TileBinning:
+    """Bin triangles into per-tile pair lists, near-depth-sorted.
+
+    v0/v1/v2: [N, 3] world-space vertices. Returns a TileBinning whose
+    payload follows the TRI_PAY layout (tile_start/tile_count as usual).
+    Triangles crossing the near plane get a full-screen rect
+    (conservative; rare for closed scenes). jitter_pad widens rects so
+    sub-pixel jittered rays stay covered.
+    """
+    W, H = camera.width, camera.height
+    ntx, nty = tile_extent(W, H, tile_w, tile_h)
+    T = ntx * nty
+    N = v0.shape[0]
+    R = camera.view[:3, :3]
+    tr = camera.view[:3, 3]
+
+    def proj(v):
+        p = v @ R.T + tr
+        z = p[:, 2]
+        zs = jnp.where(z > 1e-4, z, 1.0)
+        px = camera.fx * p[:, 0] / zs + camera.cx
+        py = camera.fy * p[:, 1] / zs + camera.cy
+        return px, py, z
+
+    x_a, y_a, z_a = proj(v0)
+    x_b, y_b, z_b = proj(v1)
+    x_c, y_c, z_c = proj(v2)
+    zmin = jnp.minimum(jnp.minimum(z_a, z_b), z_c)
+    zmax = jnp.maximum(jnp.maximum(z_a, z_b), z_c)
+    behind = zmin <= 1e-4                      # crosses/behind near plane
+    alive = zmax > 1e-4                        # fully-behind triangles die
+
+    xmin = jnp.minimum(jnp.minimum(x_a, x_b), x_c) - jitter_pad
+    xmax = jnp.maximum(jnp.maximum(x_a, x_b), x_c) + jitter_pad
+    ymin = jnp.minimum(jnp.minimum(y_a, y_b), y_c) - jitter_pad
+    ymax = jnp.maximum(jnp.maximum(y_a, y_b), y_c) + jitter_pad
+    # near-plane crossers cover everything their visible part might
+    xmin = jnp.where(behind, 0.0, xmin)
+    xmax = jnp.where(behind, jnp.float32(W), xmax)
+    ymin = jnp.where(behind, 0.0, ymin)
+    ymax = jnp.where(behind, jnp.float32(H), ymax)
+
+    on_screen = (xmax >= 0) & (xmin < W) & (ymax >= 0) & (ymin < H)
+    alive = alive & on_screen
+    x0 = jnp.clip(jnp.floor(xmin / tile_w), 0, ntx - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor(xmax / tile_w), 0, ntx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(ymin / tile_h), 0, nty - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor(ymax / tile_h), 0, nty - 1).astype(jnp.int32)
+    touched = jnp.where(alive, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
+
+    from gsrt.ops.tile_binning import tile_histogram
+    counts = tile_histogram(x0, x1, y0, y1, touched > 0, ntx, nty).reshape(T)
+    total = jnp.sum(touched)
+    overflow = total > max_pairs
+    tile_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+    tile_start = jnp.minimum(tile_start, jnp.minimum(total, max_pairs))
+
+    # near-depth carry-sort: the early-exit needs chunks in ascending zmin
+    key = jnp.where(touched > 0, zmin, jnp.inf)
+    xy0 = x0 | (y0 << 12)
+    wspan_touch = ((x1 - x0 + 1) << 20) | touched
+    e1 = v1 - v0
+    e2 = v2 - v0
+    carry = jax.lax.sort(
+        (key, xy0, wspan_touch,
+         v0[:, 0], v0[:, 1], v0[:, 2],
+         e1[:, 0], e1[:, 1], e1[:, 2],
+         e2[:, 0], e2[:, 1], e2[:, 2],
+         jnp.arange(N, dtype=jnp.int32)),
+        num_keys=1, is_stable=False)
+    (zmin_s, xy0, wspan_touch, p0x, p0y, p0z, e1x, e1y, e1z,
+     e2x, e2y, e2z, tid) = carry
+    x0s = xy0 & 0xFFF
+    y0s = xy0 >> 12
+    w_span = jnp.maximum(wspan_touch >> 20, 1)
+    touched_s = wspan_touch & 0xFFFFF
+    offsets = jnp.cumsum(touched_s)
+    from gsrt.ops.pair_expand import _DEAD_BASE
+    base = jnp.where(touched_s > 0, offsets - touched_s, _DEAD_BASE)
+
+    bi = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    tab = jnp.stack(
+        [bi(jnp.stack([x0s, y0s, w_span, base], -1)).reshape(N, 4)[:, i]
+         for i in range(4)]
+        + [p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, bi(tid),
+           jnp.where(jnp.isfinite(zmin_s), zmin_s, _INF)], axis=-1)
+    rows = jnp.repeat(tab, touched_s, axis=0,
+                      total_repeat_length=max_pairs)       # [MP, 15]
+    geom = jax.lax.bitcast_convert_type(rows[:, :4], jnp.int32)
+    gx0, gy0, gw, gbase = geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3]
+
+    slots = jnp.arange(max_pairs, dtype=jnp.int32)
+    valid = slots < jnp.minimum(total, max_pairs)
+    rank = slots - gbase
+    tx = gx0 + rank % gw
+    ty = gy0 + rank // gw
+    tile = jnp.where(valid, ty * ntx + tx, T).astype(jnp.int32)
+
+    feats = [rows[:, 4 + i] for i in range(11)]            # 9 geom, id, zmin
+    sorted_ops = jax.lax.sort((tile,) + tuple(feats), num_keys=1,
+                              is_stable=True)
+    tile_s = sorted_ops[0]
+    feats_s = list(sorted_ops[1:])
+
+    dead = tile_s >= T
+    pad = chunk + 128
+    # dead lanes: id = sentinel, zmin = +INF (inert in min folds), geometry
+    # degenerate (zero edges -> det 0 -> rejected)
+    feats_s = [jnp.where(dead, 0.0, f) for f in feats_s[:9]] + \
+        [jnp.where(dead, jax.lax.bitcast_convert_type(
+            jnp.int32(_ID_SENTINEL), jnp.float32),
+                   feats_s[9]),
+         jnp.where(dead, _INF, feats_s[10])]
+    payload = jnp.stack(
+        feats_s + [jnp.zeros_like(tile_s, jnp.float32)] * (TRI_PAY - 11),
+        axis=0)
+    tail = jnp.concatenate([
+        jnp.zeros((9, pad), jnp.float32),
+        jnp.broadcast_to(jax.lax.bitcast_convert_type(
+            jnp.int32(_ID_SENTINEL), jnp.float32), (1, pad)),
+        jnp.full((1, pad), _INF),
+        jnp.zeros((TRI_PAY - 11, pad), jnp.float32)], axis=0)
+    payload = jnp.concatenate([payload, tail], axis=1)
+
+    return TileBinning(payload=payload, tile_start=tile_start,
+                       tile_count=counts,
+                       total_pairs=total.astype(jnp.int32),
+                       overflow=overflow)
+
+
+def _tri_cast_kernel(
+    # scalar prefetch
+    tile_start_ref,        # [T_pad + 1] int32 SMEM
+    # inputs
+    payload_hbm,           # [TRI_PAY, MP + chunk + 128] HBM
+    rays_hbm,              # [T_pad * win, 8] HBM, SUBLANE-major pixels
+                           # (tile-major order): cols 0-2 ray dir (world),
+                           # cols 3-5 origin (broadcast), 6-7 pad — this
+                           # orientation slices per-subtile (win, 1)
+                           # component columns with no in-kernel transpose
+    # outputs
+    t_ref,                 # [bs, win] f32
+    id_ref,                # [bs, win] int32
+    # scratch
+    buf,                   # [2, TRI_PAY, window] VMEM
+    rbuf,                  # [bs * win, 8] VMEM
+    sem,                   # DMA semaphores (2,)
+    rsem,                  # DMA semaphore for rays
+    *,
+    win: int, bs: int, chunk: int, t_min: float, t_max: float,
+):
+    grp = pl.program_id(0)
+    t0 = grp * bs
+    window = chunk + 128
+
+    starts = [tile_start_ref[t0 + s] for s in range(bs + 1)]
+    ns = [starts[s + 1] - starts[s] for s in range(bs)]
+    ncs = [pl.cdiv(ns[s], chunk) for s in range(bs)]
+    pfx = [jnp.int32(0)]
+    for s in range(bs):
+        pfx.append(pfx[-1] + ncs[s])
+    total_chunks = pfx[-1]
+
+    ray_copy = pltpu.make_async_copy(
+        rays_hbm.at[pl.ds(t0 * win, bs * win), :], rbuf, rsem)
+    ray_copy.start()
+
+    def locate(j):
+        s = jnp.int32(0)
+        for k in range(1, bs):
+            s = s + (j >= pfx[k]).astype(jnp.int32)
+        b = jnp.int32(starts[0])
+        n = jnp.int32(ns[0])
+        p = jnp.int32(0)
+        for k in range(bs):
+            hit = s == k
+            b = jnp.where(hit, starts[k], b)
+            n = jnp.where(hit, ns[k], n)
+            p = jnp.where(hit, pfx[k], p)
+        return s, j - p, b, n
+
+    def dma(slot, j):
+        _, c, b, _ = locate(j)
+        col = pl.multiple_of(((b + c * chunk) // 128) * 128, 128)
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(col, window)], buf.at[slot],
+            sem.at[slot])
+
+    @pl.when(total_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    ray_copy.wait()
+    ox = rbuf[0:1, 3:4]                        # (1, 1) origin components
+    oy = rbuf[0:1, 4:5]
+    oz = rbuf[0:1, 5:6]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+    col_sel = jax.lax.broadcasted_iota(jnp.int32, (win, bs), 1)
+
+    def body(state):
+        j, best_t, best_id = state
+        s, c, b, n = locate(j)
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < total_chunks)
+        def _():
+            dma(1 - slot, j + 1).start()
+
+        dma(slot, j).wait()
+
+        colmask = col_sel == s                         # (win, bs)
+        bt_s = jnp.sum(jnp.where(colmask, best_t, 0.0), axis=1,
+                       keepdims=True)                  # (win, 1)
+
+        pay = buf[slot]                                # (TRI_PAY, window)
+        seg = b + c * chunk
+        off = seg - (seg // 128) * 128
+        pair_idx = c * chunk + (lane - off)
+        live = (lane >= off) & (pair_idx < n) & (lane < off + chunk)
+        zmin_row = jnp.where(live, pay[10:11, :], _INF)
+
+        def cast(args):
+            best_t, best_id = args
+            # this subtile's ray dirs: (win, 1) component columns at
+            # sublane offset s*win — broadcast against (1, window) rows
+            doff = s * win
+            dx = rbuf[pl.ds(doff, win), 0:1]
+            dy = rbuf[pl.ds(doff, win), 1:2]
+            dz = rbuf[pl.ds(doff, win), 2:3]
+            v0x, v0y, v0z = pay[0:1, :], pay[1:2, :], pay[2:3, :]
+            e1x, e1y, e1z = pay[3:4, :], pay[4:5, :], pay[5:6, :]
+            e2x, e2y, e2z = pay[6:7, :], pay[7:8, :], pay[8:9, :]
+            ids = pltpu.bitcast(pay[9:10, :], jnp.int32)
+
+            # Möller–Trumbore, shared-origin form: tvec and qvec are
+            # per-TRIANGLE rows (1, window); only pvec/det/u/v/t are
+            # (win, window)
+            pvx = dy * e2z - dz * e2y                  # (win, window)
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvx = ox - v0x                             # (1, window)
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y                # (1, window)
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            ok = ((jnp.abs(det) > 1e-12) & (u >= 0) & (vv >= 0)
+                  & (u + vv <= 1) & (tt > t_min) & (tt < t_max)
+                  & live & (ids != _ID_SENTINEL))
+            tc = jnp.where(ok, tt, _INF)               # (win, window)
+            m = jnp.min(tc, axis=1, keepdims=True)     # (win, 1)
+            idc = jnp.where(tc <= m, ids, _ID_SENTINEL)
+            im = jnp.min(idc, axis=1, keepdims=True)   # (win, 1)
+
+            upd = colmask & ((m < bt_s) & (m < _INF))
+            best_t = jnp.where(upd, jnp.minimum(m, bt_s), best_t)
+            best_id = jnp.where(upd, im, best_id)
+            return best_t, best_id
+
+        # early exit: chunks arrive in ascending zmin; once the nearest
+        # possible t (>= camera z for +z-forward unit-ish rays... zmin is
+        # a conservative near bound on t because t >= z/|d_cam_z| >= z
+        # for |d| = 1 rays) exceeds every pixel's best, skip the math
+        best_t, best_id = jax.lax.cond(
+            jnp.min(zmin_row) < jnp.max(bt_s), cast, lambda a: a,
+            (best_t, best_id))
+        return j + 1, best_t, best_id
+
+    def cond(state):
+        return state[0] < total_chunks
+
+    big = jnp.full((win, bs), _INF)
+    ids0 = jnp.full((win, bs), _ID_SENTINEL)
+    _, best_t, best_id = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), big, ids0))
+    t_ref[...] = best_t.T
+    id_ref[...] = best_id.T
+
+
+def cast_primary(binning: TileBinning, dirs, origin, *, width: int,
+                 height: int, tile_w: int, tile_h: int, bs: int = 8,
+                 chunk: int = 128, t_min: float = 1e-3, t_max: float = 1e4,
+                 interpret: bool = False):
+    """Run the binned primary cast.
+
+    dirs: [H*W, 3] world-space ray directions in framebuffer (row-major)
+    order, |d| ~ 1 (the zmin early-exit bound assumes t >= camera z, true
+    for unit dirs with the +z-forward convention). origin: [3] shared ray
+    origin. Returns (t [H, W] f32 — +inf on miss, tri_id [H, W] int32 —
+    _ID_SENTINEL on miss).
+    """
+    ntx, nty = tile_extent(width, height, tile_w, tile_h)
+    T = ntx * nty
+    win = tile_w * tile_h
+    assert win % 128 == 0 and win * bs >= 1024
+    t_pad = (-T) % bs
+    G = (T + t_pad) // bs
+
+    # tile-major ray-dir rows + origin broadcast
+    d = dirs.reshape(height, width, 3)
+    pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
+    if pad_h or pad_w:
+        d = jnp.pad(d, ((0, pad_h), (0, pad_w), (0, 0)))
+    d = d.reshape(nty, tile_h, ntx, tile_w, 3).transpose(0, 2, 1, 3, 4)
+    d = d.reshape(T, win, 3)
+    if t_pad:
+        d = jnp.concatenate(
+            [d, jnp.zeros((t_pad, win, 3), d.dtype)], axis=0)
+    npix = (T + t_pad) * win
+    rays = jnp.concatenate([
+        d.reshape(npix, 3),
+        jnp.broadcast_to(origin[None, :], (npix, 3)),
+        jnp.zeros((npix, 2), jnp.float32)], axis=1)   # [npix, 8]
+
+    tile_start = binning.tile_start
+    if t_pad:
+        tile_start = jnp.concatenate(
+            [tile_start,
+             jnp.broadcast_to(tile_start[-1:], (t_pad,))])
+    payload, rays, tile_start = jax.lax.optimization_barrier(
+        (binning.payload, rays, tile_start))
+
+    kernel = functools.partial(_tri_cast_kernel, win=win, bs=bs,
+                               chunk=chunk, t_min=t_min, t_max=t_max)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((bs, win), index_map=lambda g, ss: (g, 0)),
+            pl.BlockSpec((bs, win), index_map=lambda g, ss: (g, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, TRI_PAY, chunk + 128), jnp.float32),
+            pltpu.VMEM((bs * win, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    t_out, id_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((G * bs, win), jnp.float32),
+                   jax.ShapeDtypeStruct((G * bs, win), jnp.int32)],
+        interpret=interpret,
+    )(tile_start, payload, rays)
+
+    def unshuffle(a):
+        a = a[:T].reshape(nty, ntx, tile_h, tile_w)
+        a = a.transpose(0, 2, 1, 3).reshape(nty * tile_h, ntx * tile_w)
+        return a[:height, :width]
+
+    return unshuffle(t_out), unshuffle(id_out)

@@ -29,6 +29,13 @@ class RenderStats:
     mean_passes_per_pixel: float = 0.0  # k-buffer pass count analogue
     mean_transmittance: float = 0.0
     overflow: bool = False
+    hits_granularity: str = "pixel"  # "pixel" = exact per-pixel counts
+                                     # (reference/fast paths); "tile-pairs"
+                                     # = the tiled path reports its tile's
+                                     # PAIR count for every pixel of the
+                                     # tile (candidates, not accepted hits
+                                     # — the traversal-work metric, like
+                                     # rt_avg_nodes_per_ray)
 
     def finish(self, dt: float) -> "RenderStats":
         self.frame_time_s = dt
@@ -36,7 +43,10 @@ class RenderStats:
         self.mrays_per_s = rays / dt / 1e6 if dt > 0 else 0.0
         return self
 
-    def from_output(self, out) -> "RenderStats":
+    def from_output(self, out, hits_granularity: str = None
+                    ) -> "RenderStats":
+        if hits_granularity is not None:
+            self.hits_granularity = hits_granularity
         hits = np.asarray(out.hits)
         self.mean_hits_per_pixel = float(hits.mean())
         self.max_hits_per_pixel = int(hits.max())

@@ -1,0 +1,123 @@
+"""Binned primary-ray triangle casting vs brute-force Möller–Trumbore.
+
+The binning is conservative (projected-AABB rects, near-plane crossers go
+full-screen), so every pixel's true nearest triangle is in its tile's
+candidate list and the kernel's min-fold must reproduce the brute-force
+closest hit exactly (same MT arithmetic, f32 payload)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsrt.core.types import look_at, make_camera
+from gsrt.ops.primitives import ray_triangle
+from gsrt.ops.tri_binning import (_ID_SENTINEL, build_tri_binning,
+                                  cast_primary)
+
+
+def _soup(n, seed, spread=2.0, size=0.6):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    a = c + rng.normal(0, size, (n, 3)).astype(np.float32)
+    b = c + rng.normal(0, size, (n, 3)).astype(np.float32)
+    return jnp.asarray(c), jnp.asarray(a), jnp.asarray(b)
+
+
+def _center_dirs(camera):
+    H, W = camera.height, camera.width
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    dx = (xs.reshape(-1) + 0.5 - camera.cx) / camera.fx
+    dy = (ys.reshape(-1) + 0.5 - camera.cy) / camera.fy
+    d = jnp.stack([dx, dy, jnp.ones_like(dx)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    c2w = jnp.linalg.inv(camera.view)
+    return (c2w[:3, :3] @ d.T).T
+
+
+def _brute(v0, v1, v2, orig, dirs, t_min=1e-3, t_max=1e4):
+    t, _, _ = ray_triangle(jnp.broadcast_to(orig, dirs.shape), dirs,
+                           v0, v1, v2, t_min, t_max)
+    ti = jnp.min(t, axis=-1)
+    ii = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    return ti, jnp.where(jnp.isfinite(ti), ii, _ID_SENTINEL)
+
+
+@pytest.mark.parametrize("n,seed", [(300, 0), (80, 3)])
+def test_cast_matches_brute(n, seed):
+    v0, v1, v2 = _soup(n, seed)
+    camera = make_camera(look_at((0, 0, -6.0), (0, 0, 0.0)), 50.0, 64, 48)
+    dirs = _center_dirs(camera)
+    orig = camera.position
+    binning = build_tri_binning(v0, v1, v2, camera, tile_w=16, tile_h=8,
+                                max_pairs=1 << 14, jitter_pad=0.0)
+    assert not bool(binning.overflow)
+    t, tid = cast_primary(binning, dirs, orig, width=64, height=48,
+                          tile_w=16, tile_h=8, interpret=True)
+    t_ref, id_ref = _brute(v0, v1, v2, orig, dirs)
+    t_ref = np.asarray(t_ref).reshape(48, 64)
+    id_ref = np.asarray(id_ref).reshape(48, 64)
+    t, tid = np.asarray(t), np.asarray(tid)
+    hit_ref = np.isfinite(t_ref)
+    hit = t < 3e38
+    np.testing.assert_array_equal(hit, hit_ref)
+    np.testing.assert_allclose(t[hit], t_ref[hit_ref], rtol=1e-6, atol=1e-6)
+    # ids can only differ where two triangles tie in t exactly
+    diff = hit & (tid != id_ref)
+    assert diff.sum() == 0 or np.allclose(
+        t[diff], t_ref[diff], rtol=1e-6)
+
+
+def test_near_plane_crosser_covered():
+    """A triangle crossing the near plane must still be hittable (it gets
+    the conservative full-screen rect)."""
+    v0 = jnp.asarray([[0.0, -1.0, -1.0]])   # behind camera start
+    v1 = jnp.asarray([[0.0, 1.0, 4.0]])
+    v2 = jnp.asarray([[1.5, 0.0, 4.0]])
+    camera = make_camera(look_at((0, 0, -2.0), (0.2, 0, 1.0)), 60.0, 32, 32)
+    dirs = _center_dirs(camera)
+    orig = camera.position
+    binning = build_tri_binning(v0, v1, v2, camera, tile_w=16, tile_h=8,
+                                max_pairs=1 << 12)
+    t, tid = cast_primary(binning, dirs, orig, width=32, height=32,
+                          tile_w=16, tile_h=8, interpret=True)
+    t_ref, _ = _brute(v0, v1, v2, orig, dirs)
+    t_ref = np.asarray(t_ref).reshape(32, 32)
+    hit_ref = np.isfinite(t_ref)
+    assert hit_ref.any()
+    t = np.asarray(t)
+    np.testing.assert_array_equal(t < 3e38, hit_ref)
+    np.testing.assert_allclose(t[hit_ref], t_ref[hit_ref], rtol=1e-6)
+
+
+def test_overflow_flag():
+    v0, v1, v2 = _soup(500, 1)
+    camera = make_camera(look_at((0, 0, -6.0), (0, 0, 0.0)), 50.0, 64, 48)
+    binning = build_tri_binning(v0, v1, v2, camera, tile_w=16, tile_h=8,
+                                max_pairs=64)
+    assert bool(binning.overflow)
+
+
+def test_path_tracer_binned_primary_parity():
+    """Full path trace with primary_impl='binned' must match the default
+    traversal path (same jitter, same MT arithmetic; only bounce-0's
+    triangle closest-hit machinery differs)."""
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.path_tracer import render_path_traced
+    from gsrt.scene.primitives_catalog import _SceneBuilder
+
+    b = _SceneBuilder()
+    b.quad((-3, -2, 2), (3, -2, 2), (3, 2, 2), (-3, 2, 2),
+           b.lambertian((0.8, 0.3, 0.3)))
+    b.quad((-5, -2.2, 6), (5, -2.2, 6), (5, -2.2, -2), (-5, -2.2, -2),
+           b.metallic((0.9, 0.9, 0.9), 0.1))
+    scene = b.build()
+    camera = make_camera(look_at((0, 0, -4.0), (0, 0, 1.0)), 55.0, 48, 32)
+    cfg = RenderConfig(width=48, height=32, samples=2, bounces=3,
+                       has_sky=True, gamma_correction=False,
+                       tile_w=16, tile_h=8)
+    base = np.asarray(render_path_traced(scene, camera, cfg, seed=0))
+    binned = np.asarray(render_path_traced(
+        scene, camera, cfg, seed=0, primary_impl="binned",
+        tri_max_pairs=1 << 12, interpret=True))
+    np.testing.assert_allclose(binned, base, rtol=1e-4, atol=1e-4)
