@@ -655,16 +655,38 @@ def render_foveated(scene: PrimitiveScene, camera: Camera,
     return out
 
 
+def _binned_primary(scene, camera, cfg, dirn, tri_max_pairs, interpret):
+    """Build + run the screen-tile primary cast for one camera bundle;
+    returns the (t, tri_id) override for _closest_hit."""
+    from gsrt.ops.tri_binning import build_tri_binning, cast_primary
+    assert scene.tri_v0.shape[0] > 0, "binned primary needs triangles"
+    binning = build_tri_binning(
+        scene.tri_v0, scene.tri_v1, scene.tri_v2, camera,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h, max_pairs=tri_max_pairs)
+    t_bin, id_bin = cast_primary(
+        binning, dirn, camera.position, width=camera.width,
+        height=camera.height, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret)
+    return t_bin.reshape(-1), id_bin.reshape(-1)
+
+
 def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
                        cfg: RenderConfig, light_pos, light_radius=0.5,
-                       seed: int = 0):
+                       seed: int = 0, primary_impl: str = "block",
+                       tri_max_pairs: int = 1 << 20,
+                       interpret: bool = False):
     """TraceShadow.rgen semantics: primary hit, then `shadow_rays` rays
-    toward points on the light sphere; shade = diffuse·visibility."""
+    toward points on the light sphere; shade = diffuse·visibility.
+    primary_impl="binned" routes the primary segment through the
+    screen-tile cast (ops.tri_binning)."""
     H, W = camera.height, camera.width
     key = jax.random.PRNGKey(seed)
     orig, dirn = generate_camera_rays(key, camera, cfg)
-    t, n, mat, hit, _ = _closest_hit(scene, orig, dirn, cfg.t_min,
-                                     cfg.t_max)
+    t, n, mat, hit, _ = _closest_hit(
+        scene, orig, dirn, cfg.t_min, cfg.t_max,
+        tri_override=_binned_primary(scene, camera, cfg, dirn,
+                                     tri_max_pairs, interpret)
+        if primary_impl == "binned" else None)
     hit_p = orig + t[:, None] * dirn + 1e-3 * n
     vis = jnp.zeros((orig.shape[0],))
     for s in range(cfg.shadow_rays):
@@ -689,14 +711,21 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
 
 def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
                              cfg: RenderConfig, seed: int = 0,
-                             ao_radius: float = 2.0):
+                             ao_radius: float = 2.0,
+                             primary_impl: str = "block",
+                             tri_max_pairs: int = 1 << 20,
+                             interpret: bool = False):
     """TraceAO.rgen semantics: primary hit + `ao_rays` cosine-hemisphere
-    occlusion rays with limited tMax."""
+    occlusion rays with limited tMax. primary_impl="binned" routes the
+    primary segment through the screen-tile cast (ops.tri_binning)."""
     H, W = camera.height, camera.width
     key = jax.random.PRNGKey(seed)
     orig, dirn = generate_camera_rays(key, camera, cfg)
-    t, n, mat, hit, _ = _closest_hit(scene, orig, dirn, cfg.t_min,
-                                     cfg.t_max)
+    t, n, mat, hit, _ = _closest_hit(
+        scene, orig, dirn, cfg.t_min, cfg.t_max,
+        tri_override=_binned_primary(scene, camera, cfg, dirn,
+                                     tri_max_pairs, interpret)
+        if primary_impl == "binned" else None)
     hit_p = orig + t[:, None] * dirn + 1e-3 * n
     occ = jnp.zeros((orig.shape[0],))
     for s in range(cfg.ao_rays):
