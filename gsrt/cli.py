@@ -239,11 +239,17 @@ def cmd_bench(args) -> int:
                              float(plan.total) * 8 * 128 / R, 1)}
             else:
                 scene = with_tri_clusters(scene)
+        pk = {}
+        if args.primary == "binned" and n_tris > 0 and \
+                scene.alpha_textures is None:
+            pk = dict(primary_impl="binned",
+                      tri_max_pairs=args.tri_max_pairs)
         for wname, fn in [
-            ("PT", lambda: render_path_traced(scene, camera, cfg)),
+            ("PT", lambda: render_path_traced(scene, camera, cfg, **pk)),
             ("SH", lambda: render_shadow_rays(scene, camera, cfg,
-                                              light_pos=(0, 5, 2))),
-            ("AO", lambda: render_ambient_occlusion(scene, camera, cfg)),
+                                              light_pos=(0, 5, 2), **pk)),
+            ("AO", lambda: render_ambient_occlusion(scene, camera, cfg,
+                                                    **pk)),
         ]:
             np.asarray(fn())          # compile + warm
             t0 = time.perf_counter()
@@ -476,6 +482,11 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="lumibench-style sweep")
     _add_common(p)
+    p.add_argument("--primary", choices=["block", "binned"],
+                   default="block",
+                   help="primary-ray path: packed-cluster traversal or "
+                        "screen-tile binned cast (no-cutout scenes only)")
+    p.add_argument("--tri-max-pairs", type=int, default=1 << 20)
     p.add_argument("--suite", choices=["synthetic", "lumibench"],
                    default="synthetic",
                    help="lumibench = reference Scenes/ datasets")

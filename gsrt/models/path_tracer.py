@@ -481,7 +481,7 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
                        gauss_s_max: int = 48, gauss_rb: int = 256,
                        primary_impl: str = "block",
                        tri_max_pairs: int = 1 << 20,
-                       interpret: bool = False):
+                       interpret: bool | None = None):
     """Full path trace: [H,W,3] linear color (sqrt-gamma'd if configured,
     RayTracing.rgen:87-93).
 
@@ -674,7 +674,7 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
                        cfg: RenderConfig, light_pos, light_radius=0.5,
                        seed: int = 0, primary_impl: str = "block",
                        tri_max_pairs: int = 1 << 20,
-                       interpret: bool = False):
+                       interpret: bool | None = None):
     """TraceShadow.rgen semantics: primary hit, then `shadow_rays` rays
     toward points on the light sphere; shade = diffuse·visibility.
     primary_impl="binned" routes the primary segment through the
@@ -714,7 +714,7 @@ def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
                              ao_radius: float = 2.0,
                              primary_impl: str = "block",
                              tri_max_pairs: int = 1 << 20,
-                             interpret: bool = False):
+                             interpret: bool | None = None):
     """TraceAO.rgen semantics: primary hit + `ao_rays` cosine-hemisphere
     occlusion rays with limited tMax. primary_impl="binned" routes the
     primary segment through the screen-tile cast (ops.tri_binning)."""

@@ -328,7 +328,7 @@ def _tri_cast_kernel(
 def cast_primary(binning: TileBinning, dirs, origin, *, width: int,
                  height: int, tile_w: int, tile_h: int, bs: int = 8,
                  chunk: int = 128, t_min: float = 1e-3, t_max: float = 1e4,
-                 interpret: bool = False):
+                 interpret: bool | None = None):
     """Run the binned primary cast.
 
     dirs: [H*W, 3] world-space ray directions in framebuffer (row-major)
@@ -337,6 +337,8 @@ def cast_primary(binning: TileBinning, dirs, origin, *, width: int,
     origin. Returns (t [H, W] f32 — +inf on miss, tri_id [H, W] int32 —
     _ID_SENTINEL on miss).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     ntx, nty = tile_extent(width, height, tile_w, tile_h)
     T = ntx * nty
     win = tile_w * tile_h
