@@ -242,8 +242,14 @@ def cmd_bench(args) -> int:
         pk = {}
         if args.primary == "binned" and n_tris > 0 and \
                 scene.alpha_textures is None:
+            from gsrt.models.gaussian_rt import pair_bucket
+            from gsrt.ops.tri_binning import count_tri_pairs_numpy
+            need = count_tri_pairs_numpy(
+                scene.tri_v0, scene.tri_v1, scene.tri_v2, camera,
+                tile_w=cfg.tile_w, tile_h=cfg.tile_h)
             pk = dict(primary_impl="binned",
-                      tri_max_pairs=args.tri_max_pairs)
+                      tri_max_pairs=min(pair_bucket(int(need * 1.1)),
+                                        args.tri_max_pairs))
         for wname, fn in [
             ("PT", lambda: render_path_traced(scene, camera, cfg, **pk)),
             ("SH", lambda: render_shadow_rays(scene, camera, cfg,

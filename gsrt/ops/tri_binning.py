@@ -170,6 +170,49 @@ def build_tri_binning(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
                        overflow=overflow)
 
 
+def count_tri_pairs_numpy(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
+                          jitter_pad: float = 1.0) -> int:
+    """Host-side (pure NumPy) replica of build_tri_binning's pair count —
+    sizes the static pair buffer without compiling a second jax
+    executable (the count_pairs_numpy pattern, gaussian_rt.py)."""
+    import numpy as np
+    W, H = camera.width, camera.height
+    ntx, nty = tile_extent(W, H, tile_w, tile_h)
+    view = np.asarray(camera.view)
+    R, tr = view[:3, :3], view[:3, 3]
+    fx, fy = float(camera.fx), float(camera.fy)
+    cx, cy = float(camera.cx), float(camera.cy)
+
+    def proj(v):
+        p = np.asarray(v) @ R.T + tr
+        z = p[:, 2]
+        zs = np.where(z > 1e-4, z, 1.0)
+        return (fx * p[:, 0] / zs + cx, fy * p[:, 1] / zs + cy, z)
+
+    xa, ya, za = proj(v0)
+    xb, yb, zb = proj(v1)
+    xc, yc, zc = proj(v2)
+    zmin = np.minimum(np.minimum(za, zb), zc)
+    zmax = np.maximum(np.maximum(za, zb), zc)
+    behind = zmin <= 1e-4
+    alive = zmax > 1e-4
+    xmin = np.minimum(np.minimum(xa, xb), xc) - jitter_pad
+    xmax = np.maximum(np.maximum(xa, xb), xc) + jitter_pad
+    ymin = np.minimum(np.minimum(ya, yb), yc) - jitter_pad
+    ymax = np.maximum(np.maximum(ya, yb), yc) + jitter_pad
+    xmin = np.where(behind, 0.0, xmin)
+    xmax = np.where(behind, float(W), xmax)
+    ymin = np.where(behind, 0.0, ymin)
+    ymax = np.where(behind, float(H), ymax)
+    alive &= (xmax >= 0) & (xmin < W) & (ymax >= 0) & (ymin < H)
+    x0 = np.clip(np.floor(xmin / tile_w), 0, ntx - 1)
+    x1 = np.clip(np.floor(xmax / tile_w), 0, ntx - 1)
+    y0 = np.clip(np.floor(ymin / tile_h), 0, nty - 1)
+    y1 = np.clip(np.floor(ymax / tile_h), 0, nty - 1)
+    return int(np.where(alive,
+                        (x1 - x0 + 1) * (y1 - y0 + 1), 0).sum())
+
+
 def _tri_cast_kernel(
     # scalar prefetch
     tile_start_ref,        # [T_pad + 1] int32 SMEM

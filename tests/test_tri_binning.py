@@ -121,3 +121,14 @@ def test_path_tracer_binned_primary_parity():
         scene, camera, cfg, seed=0, primary_impl="binned",
         tri_max_pairs=1 << 12, interpret=True))
     np.testing.assert_allclose(binned, base, rtol=1e-4, atol=1e-4)
+
+
+def test_count_tri_pairs_numpy_matches_device():
+    from gsrt.ops.tri_binning import count_tri_pairs_numpy
+    v0, v1, v2 = _soup(250, 4)
+    camera = make_camera(look_at((0, 0, -6.0), (0, 0, 0.0)), 50.0, 64, 48)
+    b = build_tri_binning(v0, v1, v2, camera, tile_w=16, tile_h=8,
+                          max_pairs=1 << 14)
+    n_np = count_tri_pairs_numpy(v0, v1, v2, camera, tile_w=16, tile_h=8)
+    # f64-vs-f32 rounding can flip the odd floor at a tile boundary
+    assert abs(n_np - int(b.total_pairs)) <= max(4, n_np // 100)
