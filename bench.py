@@ -29,21 +29,28 @@ def _tpu_reachable(timeout_s: int = 120) -> bool:
     device init hangs indefinitely (retry loop), which would hang this
     whole benchmark — observed during the round-2 outage."""
     try:
+        # DEVNULL, not capture_output: a hung probe can leave an orphaned
+        # tunnel helper holding the pipe, and run() would block draining
+        # it even after killing the child (observed deadlock)
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax; assert jax.default_backend() == 'tpu'"],
-            timeout=timeout_s, capture_output=True)
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
 
 
 def main() -> None:
-    if os.environ.get("JAX_PLATFORMS") is None:
-        if not _tpu_reachable():
-            # fall back to CPU so the run records a (clearly-labeled)
-            # result instead of hanging the driver
-            os.environ["JAX_PLATFORMS"] = "cpu"
+    # The driver environment exports JAX_PLATFORMS=axon, so an unreachable
+    # tunnel would hang this process inside backend init. Probe first in a
+    # killable subprocess; only an explicit cpu/host setting skips it.
+    want = os.environ.get("JAX_PLATFORMS") or "axon"
+    if ("axon" in want or "tpu" in want) and not _tpu_reachable():
+        # fall back to CPU so the run records a (clearly-labeled) result
+        # instead of hanging the driver
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
@@ -105,7 +112,7 @@ def main() -> None:
                   "small render_fast workload — not the headline)")
     print(json.dumps({
         "metric": metric,
-        "value": round(mrays, 2),
+        "value": round(mrays, 4),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 3),
     }))
