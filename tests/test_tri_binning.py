@@ -132,3 +132,42 @@ def test_count_tri_pairs_numpy_matches_device():
     n_np = count_tri_pairs_numpy(v0, v1, v2, camera, tile_w=16, tile_h=8)
     # f64-vs-f32 rounding can flip the odd floor at a tile boundary
     assert abs(n_np - int(b.total_pairs)) <= max(4, n_np // 100)
+
+
+@pytest.mark.slow
+def test_binned_primary_on_reference_scene():
+    """Real reference OBJ data (Blender splash scene subset): the binned
+    primary cast must agree with the production traversal path on actual
+    mesh geometry — many small triangles, real camera."""
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.path_tracer import _closest_hit, with_tri_table
+    from gsrt.models.path_tracer import generate_camera_rays
+    from gsrt.ops.tri_binning import (build_tri_binning, cast_primary,
+                                     count_tri_pairs_numpy)
+    from gsrt.scene.reference_scenes import (REFERENCE_SCENES,
+                                             reference_data_available)
+    if not reference_data_available():
+        pytest.skip("reference Scenes/ data not present")
+    scene, camera, _ = REFERENCE_SCENES["blender_2_77"](64, 48, max_files=2)
+    if scene.tri_v0.shape[0] < 8:
+        pytest.skip("subset too small")
+    import jax
+    orig, dirn = generate_camera_rays(jax.random.PRNGKey(0), camera,
+                                      RenderConfig(width=64, height=48))
+    need = count_tri_pairs_numpy(scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                                 camera, tile_w=16, tile_h=8)
+    binning = build_tri_binning(scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                               camera, tile_w=16, tile_h=8,
+                               max_pairs=int(need * 1.2) + 256)
+    assert not bool(binning.overflow)
+    t_bin, id_bin = cast_primary(binning, dirn, camera.position,
+                                 width=64, height=48, tile_w=16, tile_h=8,
+                                 interpret=True)
+    # production traversal comparison (tri_table path or brute)
+    scene_t = with_tri_table(scene)
+    t_ref, n, m, hit, uv = _closest_hit(scene_t, orig, dirn, 1e-3, 1e4)
+    t_ref = np.asarray(t_ref).reshape(48, 64)
+    hit = np.asarray(hit).reshape(48, 64)
+    t_bin = np.asarray(t_bin)
+    np.testing.assert_array_equal(t_bin < 3e38, hit)
+    np.testing.assert_allclose(t_bin[hit], t_ref[hit], rtol=1e-5, atol=1e-5)
