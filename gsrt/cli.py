@@ -250,6 +250,11 @@ def cmd_bench(args) -> int:
             pk = dict(primary_impl="binned",
                       tri_max_pairs=min(pair_bucket(int(need * 1.1)),
                                         args.tri_max_pairs))
+            # candidate-work metric for the binned path: avg (tile, tri)
+            # pairs per pixel — the rasterizer-side rt_avg_nodes_per_ray
+            stats["binned_pairs"] = int(need)
+            stats["candidates_per_pixel"] = round(
+                need / (args.width * args.height), 2)
         for wname, fn in [
             ("PT", lambda: render_path_traced(scene, camera, cfg, **pk)),
             ("SH", lambda: render_shadow_rays(scene, camera, cfg,

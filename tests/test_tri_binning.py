@@ -171,3 +171,30 @@ def test_binned_primary_on_reference_scene():
     t_bin = np.asarray(t_bin)
     np.testing.assert_array_equal(t_bin < 3e38, hit)
     np.testing.assert_allclose(t_bin[hit], t_ref[hit], rtol=1e-5, atol=1e-5)
+
+
+def test_binned_primary_with_gaussians():
+    """primary_impl='binned' composes with mixed splat+mesh scenes (the
+    splat compositing is orthogonal to bounce-0's triangle machinery)."""
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.path_tracer import render_path_traced
+    from gsrt.scene.primitives_catalog import _SceneBuilder
+    from gsrt.scene.catalog import random_cloud
+
+    b = _SceneBuilder()
+    b.quad((-3, -2, 3), (3, -2, 3), (3, 2, 3), (-3, 2, 3),
+           b.lambertian((0.3, 0.5, 0.8)))
+    scene = b.build()
+    camera = make_camera(look_at((0, 0, -4.0), (0, 0, 1.0)), 55.0, 32, 32)
+    cloud, _ = random_cloud(300, seed=11, width=32, height=32)
+    cfg = RenderConfig(width=32, height=32, samples=1, bounces=2,
+                       has_sky=True, gamma_correction=False, k=8,
+                       tile_w=16, tile_h=8)
+    a = np.asarray(render_path_traced(scene, camera, cfg, seed=0,
+                                      gaussians=cloud))
+    c = np.asarray(render_path_traced(scene, camera, cfg, seed=0,
+                                      gaussians=cloud,
+                                      primary_impl="binned",
+                                      tri_max_pairs=1 << 10,
+                                      interpret=True))
+    np.testing.assert_allclose(c, a, rtol=1e-4, atol=1e-4)
