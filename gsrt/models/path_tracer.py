@@ -627,7 +627,8 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
 def render_foveated(scene: PrimitiveScene, camera: Camera,
                     cfg: RenderConfig, seed: int = 0,
                     rings=(15, 40), ring_samples=(16, 8, 1),
-                    aperture: float = 0.0, focus: float = 1.0):
+                    aperture: float = 0.0, focus: float = 1.0,
+                    **pt_kwargs):
     """TraceFoveated.rgen semantics (:29-51): per-pixel sample count by
     radius from the image center — 16 spp inside `rings[0]` px, 8 spp inside
     `rings[1]` px, 1 spp outside. Computed as a full max-spp wavefront with
@@ -646,7 +647,8 @@ def render_foveated(scene: PrimitiveScene, camera: Camera,
     for s in range(max_spp):
         img = render_path_traced(scene, camera, cfg1,
                                  seed=seed * max_spp + s,
-                                 aperture=aperture, focus=focus)
+                                 aperture=aperture, focus=focus,
+                                 **pt_kwargs)
         use = (s < spp)[:, None]
         acc = acc + jnp.where(use, img.reshape(-1, 3), 0.0)
     out = (acc / spp[:, None]).reshape(H, W, 3)
