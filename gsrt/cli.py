@@ -140,17 +140,23 @@ def cmd_pt(args) -> int:
                        shadow_rays=args.shadowrays, ao_rays=args.aorays,
                        has_sky=extra["has_sky"],
                        gamma_correction=extra["gamma"])
+    pk = {}
+    if getattr(args, "primary", "block") == "binned" and \
+            int(scene.tri_v0.shape[0]) > 0 and \
+            scene.alpha_textures is None and extra["aperture"] == 0.0:
+        pk = dict(primary_impl="binned")
     t0 = time.perf_counter()
     if args.shader_type == "path":
         img = render_path_traced(scene, camera, cfg,
                                  aperture=extra["aperture"],
-                                 focus=extra["focus"])
+                                 focus=extra["focus"], **pk)
     elif args.shader_type == "shadow":
         img = render_shadow_rays(scene, camera, cfg,
                                  light_pos=(278, 554, -279)
-                                 if args.scene == "cornell" else (0, 5, 2))
+                                 if args.scene == "cornell" else (0, 5, 2),
+                                 **pk)
     elif args.shader_type == "ao":
-        img = render_ambient_occlusion(scene, camera, cfg)
+        img = render_ambient_occlusion(scene, camera, cfg, **pk)
     elif args.shader_type == "foveated":
         from gsrt.models.path_tracer import render_foveated
         img = render_foveated(scene, camera, cfg,
@@ -489,6 +495,9 @@ def main(argv=None) -> int:
                    default="path")
     p.add_argument("--shadowrays", type=int, default=2)
     p.add_argument("--aorays", type=int, default=4)
+    p.add_argument("--primary", choices=["block", "binned"],
+                   default="block",
+                   help="primary-ray path (binned = screen-tile cast)")
     p.set_defaults(fn=cmd_pt)
 
     p = sub.add_parser("bench", help="lumibench-style sweep")
