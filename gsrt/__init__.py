@@ -10,14 +10,21 @@ kernels over HBM-resident SoA, scaling across chips via `jax.sharding`.
 
 Layer map (mirrors SURVEY.md §7):
   gsrt.core      dtypes, SoA schemas, camera model, config
-  gsrt.ops       compute kernels: gaussian math, k-buffer, SH, BVH, Pallas
-  gsrt.models    renderers: GaussianRayTracer (flagship), PathTracer
-  gsrt.scene     scene catalog + loaders (.ply splats, OBJ, .camera files)
-  gsrt.parallel  device-mesh sharding: image-tile DP, splat-sharded ring
-  gsrt.utils     NumPy oracle, image IO, PSNR/SSIM, stats
+  gsrt.ops       compute kernels: gaussian math, k-buffer, SH, Pallas
+                 (tile/tri binning, packed blend, pair expansion, cluster
+                 tracers), BVH builders
+  gsrt.models    renderers: GaussianRayTracer (flagship), PathTracer,
+                 trainer (custom-VJP tiled backward)
+  gsrt.scene     scene catalog + loaders (.ply splats, OBJ+MTL+textures,
+                 .camera files, reference datasets, camera paths)
+  gsrt.parallel  device-mesh sharding: image-tile DP, depth-slab splat
+                 sharding, gradient DP; multi-host via jax.distributed
+  gsrt.serving   temporal-reuse saturation culling for camera paths
+  gsrt.utils     NumPy oracle, image IO, PSNR/SSIM, stats, profiling
+  native/        C++ host runtime: threaded PLY parser, LBVH builder
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from gsrt.core.config import RenderConfig  # noqa: F401
 from gsrt.core.types import Camera, GaussianCloud  # noqa: F401
