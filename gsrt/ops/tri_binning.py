@@ -39,7 +39,8 @@ _ID_SENTINEL = 0x7FFFFFFF  # captured as consts by pallas_call
 
 def build_tri_binning(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
                       max_pairs: int, chunk: int = 128,
-                      jitter_pad: float = 1.0) -> TileBinning:
+                      jitter_pad: float = 1.0, span_exact: bool = False,
+                      max_rows: int | None = None) -> TileBinning:
     """Bin triangles into per-tile pair lists, near-depth-sorted.
 
     v0/v1/v2: [N, 3] world-space vertices. Returns a TileBinning whose
@@ -47,6 +48,15 @@ def build_tri_binning(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
     Triangles crossing the near plane get a full-screen rect
     (conservative; rare for closed scenes). jitter_pad widens rects so
     sub-pixel jittered rays stay covered.
+
+    span_exact=True: two-level expansion with EXACT per-tile-row x-spans
+    (the rasterizer's scanline clip — projected triangle edges are
+    straight lines, so the x-extent over a row's y-band is attained at
+    in-band vertices or edge/band intersections, in closed form). Large
+    diagonal triangles cover ~half their AABB rect; the exact spans drop
+    those pairs with a bit-identical image (skipped tiles contain no
+    covered sample). Requires nty <= 255; max_rows sizes the row table
+    (defaults to max_pairs — rows <= pairs always).
     """
     W, H = camera.width, camera.height
     ntx, nty = tile_extent(W, H, tile_w, tile_h)
@@ -90,16 +100,13 @@ def build_tri_binning(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
     touched = jnp.where(alive, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
 
     from gsrt.ops.tile_binning import tile_histogram
-    counts = tile_histogram(x0, x1, y0, y1, touched > 0, ntx, nty).reshape(T)
-    total = jnp.sum(touched)
-    overflow = total > max_pairs
-    tile_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
-    tile_start = jnp.minimum(tile_start, jnp.minimum(total, max_pairs))
 
     # near-depth carry-sort: the early-exit needs chunks in ascending zmin
     key = jnp.where(touched > 0, zmin, jnp.inf)
-    xy0 = x0 | (y0 << 12)
+    rows_n = jnp.where(touched > 0, y1 - y0 + 1, 0) if span_exact else 0
+    if span_exact:
+        assert nty <= 255, "exact spans pack the tile-row count in 8 bits"
+    xy0 = x0 | (y0 << 12) | (rows_n << 24)
     wspan_touch = ((x1 - x0 + 1) << 20) | touched
     e1 = v1 - v0
     e2 = v2 - v0
@@ -113,19 +120,120 @@ def build_tri_binning(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
     (zmin_s, xy0, wspan_touch, p0x, p0y, p0z, e1x, e1y, e1z,
      e2x, e2y, e2z, tid) = carry
     x0s = xy0 & 0xFFF
-    y0s = xy0 >> 12
+    y0s = (xy0 >> 12) & 0xFFF
     w_span = jnp.maximum(wspan_touch >> 20, 1)
     touched_s = wspan_touch & 0xFFFFF
-    offsets = jnp.cumsum(touched_s)
     from gsrt.ops.pair_expand import _DEAD_BASE
-    base = jnp.where(touched_s > 0, offsets - touched_s, _DEAD_BASE)
-
     bi = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    zmin_f = jnp.where(jnp.isfinite(zmin_s), zmin_s, _INF)
+
+    if span_exact:
+        # --- level 1: expand triangles -> tile-row units, exact x-spans ---
+        if max_rows is None:
+            max_rows = max_pairs
+        rows_s = jnp.where(touched_s > 0, (xy0 >> 24) & 0xFF, 0)
+        x1s = x0s + w_span - 1
+        row_off = jnp.cumsum(rows_s)
+        rows_total = row_off[-1]
+        row_base = jnp.where(rows_s > 0, row_off - rows_s, _DEAD_BASE)
+        xgeo = x0s | (x1s << 12) | (y0s << 24)
+        tab1 = jnp.stack(
+            [bi(xgeo), bi(row_base), p0x, p0y, p0z, e1x, e1y, e1z,
+             e2x, e2y, e2z, bi(tid), zmin_f], axis=-1)     # [N, 13]
+        rr = jnp.repeat(tab1, rows_s, axis=0,
+                        total_repeat_length=max_rows)      # [MR, 13]
+        rgeo = jax.lax.bitcast_convert_type(rr[:, 0], jnp.int32)
+        rbase = jax.lax.bitcast_convert_type(rr[:, 1], jnp.int32)
+        rx0, rx1 = rgeo & 0xFFF, (rgeo >> 12) & 0xFFF
+        ry0 = (rgeo >> 24) & 0xFF
+        rslot = jnp.arange(max_rows, dtype=jnp.int32)
+        rvalid = rslot < jnp.minimum(rows_total, max_rows)
+        ty_r = ry0 + (rslot - rbase)
+
+        # re-project the verts (cheap f32; avoids 6 extra sort operands)
+        pv0 = rr[:, 2:5]
+        pv1 = pv0 + rr[:, 5:8]
+        pv2 = pv0 + rr[:, 8:11]
+
+        def proj_r(v):
+            p = v @ R.T + tr
+            z = p[:, 2]
+            zs = jnp.where(z > 1e-4, z, 1.0)
+            return (camera.fx * p[:, 0] / zs + camera.cx,
+                    camera.fy * p[:, 1] / zs + camera.cy, z)
+
+        xa_r, ya_r, za_r = proj_r(pv0)
+        xb_r, yb_r, zb_r = proj_r(pv1)
+        xc_r, yc_r, zc_r = proj_r(pv2)
+        behind_r = jnp.minimum(jnp.minimum(za_r, zb_r), zc_r) <= 1e-4
+
+        yb0 = ty_r.astype(jnp.float32) * tile_h - jitter_pad
+        yb1 = yb0 + (tile_h - 1) + 2 * jitter_pad
+        big = jnp.float32(1e30)
+        xmn = jnp.full((max_rows,), big)
+        xmx = jnp.full((max_rows,), -big)
+        verts = [(xa_r, ya_r), (xb_r, yb_r), (xc_r, yc_r)]
+        for xv, yv in verts:
+            inb = (yv >= yb0) & (yv <= yb1)
+            xmn = jnp.minimum(xmn, jnp.where(inb, xv, big))
+            xmx = jnp.maximum(xmx, jnp.where(inb, xv, -big))
+        for (xA, yA), (xB, yB) in ((verts[0], verts[1]),
+                                   (verts[1], verts[2]),
+                                   (verts[2], verts[0])):
+            dy = yB - yA
+            dy_s = jnp.where(jnp.abs(dy) > 1e-12, dy, 1e-12)
+            for yb in (yb0, yb1):
+                t = (yb - yA) / dy_s
+                ok = (jnp.abs(dy) > 1e-12) & (t >= 0.0) & (t <= 1.0)
+                xi = xA + t * (xB - xA)
+                xmn = jnp.minimum(xmn, jnp.where(ok, xi, big))
+                xmx = jnp.maximum(xmx, jnp.where(ok, xi, -big))
+        # behind-camera / empty-band rows fall back to the (conservative)
+        # rect span; the clip below also guarantees span >= 1
+        usable = rvalid & ~behind_r & (xmn <= xmx)
+        tx0 = jnp.clip(jnp.floor((xmn - jitter_pad) / tile_w
+                                 ).astype(jnp.int32), rx0, rx1)
+        tx1 = jnp.clip(jnp.floor((xmx + jitter_pad) / tile_w
+                                 ).astype(jnp.int32), tx0, rx1)
+        tx0 = jnp.where(usable, tx0, rx0)
+        tx1 = jnp.where(usable, tx1, rx1)
+        span = jnp.where(rvalid, tx1 - tx0 + 1, 0)
+
+        counts = tile_histogram(tx0, tx1, ty_r, ty_r, span > 0,
+                                ntx, nty).reshape(T)
+        total = jnp.sum(span)
+        overflow = (rows_total > max_rows) | (total > max_pairs)
+        tile_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+        tile_start = jnp.minimum(tile_start,
+                                 jnp.minimum(total, max_pairs))
+        pair_off = jnp.cumsum(span)
+        base = jnp.where(span > 0, pair_off - span, _DEAD_BASE)
+        # rebind UNITS = rows for the shared level-2 section
+        x0s, y0s, w_span, touched_s = (tx0, ty_r, jnp.maximum(span, 1),
+                                       span)
+        p0x, p0y, p0z = rr[:, 2], rr[:, 3], rr[:, 4]
+        e1x, e1y, e1z = rr[:, 5], rr[:, 6], rr[:, 7]
+        e2x, e2y, e2z = rr[:, 8], rr[:, 9], rr[:, 10]
+        tidf, zmin_f = rr[:, 11], jnp.where(rvalid, rr[:, 12], _INF)
+    else:
+        counts = tile_histogram(x0, x1, y0, y1, touched > 0,
+                                ntx, nty).reshape(T)
+        total = jnp.sum(touched)
+        overflow = total > max_pairs
+        tile_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+        tile_start = jnp.minimum(tile_start,
+                                 jnp.minimum(total, max_pairs))
+        offsets = jnp.cumsum(touched_s)
+        base = jnp.where(touched_s > 0, offsets - touched_s, _DEAD_BASE)
+        tidf = bi(tid)
+
     tab = jnp.stack(
-        [bi(jnp.stack([x0s, y0s, w_span, base], -1)).reshape(N, 4)[:, i]
+        [bi(jnp.stack([x0s, y0s, w_span, base], -1))[:, i]
          for i in range(4)]
-        + [p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, bi(tid),
-           jnp.where(jnp.isfinite(zmin_s), zmin_s, _INF)], axis=-1)
+        + [p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, tidf,
+           zmin_f], axis=-1)
     rows = jnp.repeat(tab, touched_s, axis=0,
                       total_repeat_length=max_pairs)       # [MP, 15]
     geom = jax.lax.bitcast_convert_type(rows[:, :4], jnp.int32)

@@ -198,3 +198,36 @@ def test_binned_primary_with_gaussians():
                                       tri_max_pairs=1 << 10,
                                       interpret=True))
     np.testing.assert_allclose(c, a, rtol=1e-4, atol=1e-4)
+
+
+def test_exact_spans_subset_and_parity():
+    """span_exact: fewer pairs (scanline clip vs AABB rect), identical
+    cast result (skipped tiles contain no covered sample)."""
+    # large random triangles -> strong diagonal-AABB waste
+    v0, v1, v2 = _soup(120, 7, spread=2.0, size=2.5)
+    camera = make_camera(look_at((0, 0, -7.0), (0, 0, 0.0)), 55.0, 64, 48)
+    dirs = _center_dirs(camera)
+    orig = camera.position
+    br = build_tri_binning(v0, v1, v2, camera, tile_w=16, tile_h=8,
+                           max_pairs=1 << 14, jitter_pad=0.0)
+    be = build_tri_binning(v0, v1, v2, camera, tile_w=16, tile_h=8,
+                           max_pairs=1 << 14, jitter_pad=0.0,
+                           span_exact=True)
+    pr, pe = int(br.total_pairs), int(be.total_pairs)
+    assert 0 < pe < pr, (pe, pr)
+    assert int(np.asarray(be.tile_count).sum()) == pe
+    assert (np.asarray(be.tile_count) <= np.asarray(br.tile_count)).all()
+    tr_, ir_ = cast_primary(br, dirs, orig, width=64, height=48,
+                            tile_w=16, tile_h=8, interpret=True)
+    te_, ie_ = cast_primary(be, dirs, orig, width=64, height=48,
+                            tile_w=16, tile_h=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(te_), np.asarray(tr_))
+    np.testing.assert_array_equal(np.asarray(ie_), np.asarray(ir_))
+
+
+def test_exact_spans_row_overflow():
+    v0, v1, v2 = _soup(200, 8, size=1.5)
+    camera = make_camera(look_at((0, 0, -6.0), (0, 0, 0.0)), 50.0, 64, 48)
+    b = build_tri_binning(v0, v1, v2, camera, tile_w=16, tile_h=8,
+                          max_pairs=1 << 14, span_exact=True, max_rows=32)
+    assert bool(b.overflow)
