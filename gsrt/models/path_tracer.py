@@ -481,6 +481,7 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
                        gauss_s_max: int = 48, gauss_rb: int = 256,
                        primary_impl: str = "block",
                        tri_max_pairs: int = 1 << 20,
+                       tri_span_exact: bool = False,
                        interpret: bool | None = None):
     """Full path trace: [H,W,3] linear color (sqrt-gamma'd if configured,
     RayTracing.rgen:87-93).
@@ -531,7 +532,8 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
         assert scene.tri_v0.shape[0] > 0, "binned primary needs triangles"
         tri_binning = build_tri_binning(
             scene.tri_v0, scene.tri_v1, scene.tri_v2, camera,
-            tile_w=cfg.tile_w, tile_h=cfg.tile_h, max_pairs=tri_max_pairs)
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h, max_pairs=tri_max_pairs,
+            span_exact=tri_span_exact)
 
     def one_sample(key):
         kr, kb = jax.random.split(key)
@@ -657,14 +659,16 @@ def render_foveated(scene: PrimitiveScene, camera: Camera,
     return out
 
 
-def _binned_primary(scene, camera, cfg, dirn, tri_max_pairs, interpret):
+def _binned_primary(scene, camera, cfg, dirn, tri_max_pairs, interpret,
+                    span_exact: bool = False):
     """Build + run the screen-tile primary cast for one camera bundle;
     returns the (t, tri_id) override for _closest_hit."""
     from gsrt.ops.tri_binning import build_tri_binning, cast_primary
     assert scene.tri_v0.shape[0] > 0, "binned primary needs triangles"
     binning = build_tri_binning(
         scene.tri_v0, scene.tri_v1, scene.tri_v2, camera,
-        tile_w=cfg.tile_w, tile_h=cfg.tile_h, max_pairs=tri_max_pairs)
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h, max_pairs=tri_max_pairs,
+        span_exact=span_exact)
     t_bin, id_bin = cast_primary(
         binning, dirn, camera.position, width=camera.width,
         height=camera.height, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
