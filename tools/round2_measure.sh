@@ -23,3 +23,6 @@ timeout 1200 python tools/span_compare.py 2>&1 | tee /tmp/r2m/span.log | tail -6
 
 echo "=== summary ==="
 grep -h "ms/frame\|Mrays\|PSNR\|max=" /tmp/r2m/*.log | tail -20
+
+# 4b. triangle primary paths on reference scenes (block vs binned)
+timeout 1800 python tools/tri_bench.py 2>&1 | tee /tmp/r2m/tri.log | tail -30
