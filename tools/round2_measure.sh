@@ -21,8 +21,8 @@ timeout 1200 python tools/blend_ablation.py 2>&1 | tee /tmp/r2m/scan.log | tail 
 # 3. ellipse spans end-to-end (rect vs ellipse frame time, same workload)
 timeout 1200 python tools/span_compare.py 2>&1 | tee /tmp/r2m/span.log | tail -6
 
+# 4. triangle primary paths on reference scenes (block vs binned)
+timeout 1800 python tools/tri_bench.py 2>&1 | tee /tmp/r2m/tri.log | tail -30
+
 echo "=== summary ==="
 grep -h "ms/frame\|Mrays\|PSNR\|max=" /tmp/r2m/*.log | tail -20
-
-# 4b. triangle primary paths on reference scenes (block vs binned)
-timeout 1800 python tools/tri_bench.py 2>&1 | tee /tmp/r2m/tri.log | tail -30
