@@ -279,10 +279,14 @@ def build_tri_binning(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
 
 
 def count_tri_pairs_numpy(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
-                          jitter_pad: float = 1.0) -> int:
+                          jitter_pad: float = 1.0,
+                          span_exact: bool = False) -> int:
     """Host-side (pure NumPy) replica of build_tri_binning's pair count —
     sizes the static pair buffer without compiling a second jax
-    executable (the count_pairs_numpy pattern, gaussian_rt.py)."""
+    executable (the count_pairs_numpy pattern, gaussian_rt.py).
+    span_exact mirrors the scanline-clip row spans (same math, f64 —
+    counts may differ by the odd floor at a tile boundary; size with
+    slack)."""
     import numpy as np
     W, H = camera.width, camera.height
     ntx, nty = tile_extent(W, H, tile_w, tile_h)
@@ -313,12 +317,44 @@ def count_tri_pairs_numpy(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
     ymin = np.where(behind, 0.0, ymin)
     ymax = np.where(behind, float(H), ymax)
     alive &= (xmax >= 0) & (xmin < W) & (ymax >= 0) & (ymin < H)
-    x0 = np.clip(np.floor(xmin / tile_w), 0, ntx - 1)
-    x1 = np.clip(np.floor(xmax / tile_w), 0, ntx - 1)
-    y0 = np.clip(np.floor(ymin / tile_h), 0, nty - 1)
-    y1 = np.clip(np.floor(ymax / tile_h), 0, nty - 1)
-    return int(np.where(alive,
-                        (x1 - x0 + 1) * (y1 - y0 + 1), 0).sum())
+    x0 = np.clip(np.floor(xmin / tile_w), 0, ntx - 1).astype(np.int64)
+    x1 = np.clip(np.floor(xmax / tile_w), 0, ntx - 1).astype(np.int64)
+    y0 = np.clip(np.floor(ymin / tile_h), 0, nty - 1).astype(np.int64)
+    y1 = np.clip(np.floor(ymax / tile_h), 0, nty - 1).astype(np.int64)
+    if not span_exact:
+        return int(np.where(alive,
+                            (x1 - x0 + 1) * (y1 - y0 + 1), 0).sum())
+
+    rows = np.where(alive, y1 - y0 + 1, 0)
+    idx = np.repeat(np.arange(rows.shape[0]), rows)
+    off = np.cumsum(rows) - rows
+    ty = y0[idx] + (np.arange(idx.shape[0]) - off[idx])
+    yb0 = ty * tile_h - jitter_pad
+    yb1 = yb0 + (tile_h - 1) + 2 * jitter_pad
+    big = 1e30
+    xmn = np.full(idx.shape[0], big)
+    xmx = np.full(idx.shape[0], -big)
+    verts = [(xa[idx], ya[idx]), (xb[idx], yb[idx]), (xc[idx], yc[idx])]
+    for xv, yv in verts:
+        inb = (yv >= yb0) & (yv <= yb1)
+        xmn = np.minimum(xmn, np.where(inb, xv, big))
+        xmx = np.maximum(xmx, np.where(inb, xv, -big))
+    for (xA, yA), (xB, yB) in ((verts[0], verts[1]), (verts[1], verts[2]),
+                               (verts[2], verts[0])):
+        dy = yB - yA
+        dys = np.where(np.abs(dy) > 1e-12, dy, 1e-12)
+        for ybnd in (yb0, yb1):
+            t = (ybnd - yA) / dys
+            ok = (np.abs(dy) > 1e-12) & (t >= 0.0) & (t <= 1.0)
+            xi = xA + t * (xB - xA)
+            xmn = np.minimum(xmn, np.where(ok, xi, big))
+            xmx = np.maximum(xmx, np.where(ok, xi, -big))
+    usable = ~behind[idx] & (xmn <= xmx)
+    tx0 = np.clip(np.floor((xmn - jitter_pad) / tile_w), x0[idx], x1[idx])
+    tx1 = np.clip(np.floor((xmx + jitter_pad) / tile_w), tx0, x1[idx])
+    tx0 = np.where(usable, tx0, x0[idx])
+    tx1 = np.where(usable, tx1, x1[idx])
+    return int((tx1 - tx0 + 1).sum())
 
 
 def _tri_cast_kernel(

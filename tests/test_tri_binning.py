@@ -231,3 +231,14 @@ def test_exact_spans_row_overflow():
     b = build_tri_binning(v0, v1, v2, camera, tile_w=16, tile_h=8,
                           max_pairs=1 << 14, span_exact=True, max_rows=32)
     assert bool(b.overflow)
+
+
+def test_count_exact_matches_device():
+    from gsrt.ops.tri_binning import count_tri_pairs_numpy
+    v0, v1, v2 = _soup(150, 9, size=1.8)
+    camera = make_camera(look_at((0, 0, -6.0), (0, 0, 0.0)), 50.0, 64, 48)
+    b = build_tri_binning(v0, v1, v2, camera, tile_w=16, tile_h=8,
+                          max_pairs=1 << 14, span_exact=True)
+    n_np = count_tri_pairs_numpy(v0, v1, v2, camera, tile_w=16, tile_h=8,
+                                 span_exact=True)
+    assert abs(n_np - int(b.total_pairs)) <= max(8, n_np // 50)
