@@ -250,10 +250,11 @@ def cmd_bench(args) -> int:
                 scene.alpha_textures is None:
             from gsrt.models.gaussian_rt import pair_bucket
             from gsrt.ops.tri_binning import count_tri_pairs_numpy
+            exact = getattr(args, "tri_span", "rect") == "exact"
             need = count_tri_pairs_numpy(
                 scene.tri_v0, scene.tri_v1, scene.tri_v2, camera,
-                tile_w=cfg.tile_w, tile_h=cfg.tile_h)
-            pk = dict(primary_impl="binned",
+                tile_w=cfg.tile_w, tile_h=cfg.tile_h, span_exact=exact)
+            pk = dict(primary_impl="binned", tri_span_exact=exact,
                       tri_max_pairs=min(pair_bucket(int(need * 1.1)),
                                         args.tri_max_pairs))
             # candidate-work metric for the binned path: avg (tile, tri)
@@ -507,6 +508,9 @@ def main(argv=None) -> int:
                    help="primary-ray path: packed-cluster traversal or "
                         "screen-tile binned cast (no-cutout scenes only)")
     p.add_argument("--tri-max-pairs", type=int, default=1 << 20)
+    p.add_argument("--tri-span", choices=["rect", "exact"], default="rect",
+                   help="binned-cast pair generation (exact = scanline "
+                        "clip; fewer pairs, identical image)")
     p.add_argument("--suite", choices=["synthetic", "lumibench"],
                    default="synthetic",
                    help="lumibench = reference Scenes/ datasets")

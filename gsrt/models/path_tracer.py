@@ -680,6 +680,7 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
                        cfg: RenderConfig, light_pos, light_radius=0.5,
                        seed: int = 0, primary_impl: str = "block",
                        tri_max_pairs: int = 1 << 20,
+                       tri_span_exact: bool = False,
                        interpret: bool | None = None):
     """TraceShadow.rgen semantics: primary hit, then `shadow_rays` rays
     toward points on the light sphere; shade = diffuse·visibility.
@@ -691,7 +692,8 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
     t, n, mat, hit, _ = _closest_hit(
         scene, orig, dirn, cfg.t_min, cfg.t_max,
         tri_override=_binned_primary(scene, camera, cfg, dirn,
-                                     tri_max_pairs, interpret)
+                                     tri_max_pairs, interpret,
+                                     span_exact=tri_span_exact)
         if primary_impl == "binned" else None)
     hit_p = orig + t[:, None] * dirn + 1e-3 * n
     vis = jnp.zeros((orig.shape[0],))
@@ -720,6 +722,7 @@ def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
                              ao_radius: float = 2.0,
                              primary_impl: str = "block",
                              tri_max_pairs: int = 1 << 20,
+                             tri_span_exact: bool = False,
                              interpret: bool | None = None):
     """TraceAO.rgen semantics: primary hit + `ao_rays` cosine-hemisphere
     occlusion rays with limited tMax. primary_impl="binned" routes the
@@ -730,7 +733,8 @@ def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
     t, n, mat, hit, _ = _closest_hit(
         scene, orig, dirn, cfg.t_min, cfg.t_max,
         tri_override=_binned_primary(scene, camera, cfg, dirn,
-                                     tri_max_pairs, interpret)
+                                     tri_max_pairs, interpret,
+                                     span_exact=tri_span_exact)
         if primary_impl == "binned" else None)
     hit_p = orig + t[:, None] * dirn + 1e-3 * n
     occ = jnp.zeros((orig.shape[0],))
