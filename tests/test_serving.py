@@ -156,3 +156,36 @@ def test_camera_paths():
     p1 = np.asarray(cams[-1].position)
     assert np.allclose(p0, (0, 0, -5), atol=1e-5)
     assert np.allclose(p1, (0, 0, -2), atol=1e-5)
+
+
+def test_serving_with_ellipse_and_compact():
+    """Serving (carry_depth + cutoff cull) composes with the ellipse-span
+    and compact-payload tiers: frame-1 parity and a working cull frame."""
+    cloud, camera = _dense_cloud()
+    for tier in (dict(span_mode="ellipse"),
+                 dict(payload="compact"),
+                 dict(span_mode="ellipse", payload="compact")):
+        cfg = _cfg(**tier)
+        base = render_tiled(cloud, camera, _cfg(), max_pairs=MP,
+                            interpret=True)
+        out, aux = render_tiled(cloud, camera, cfg, max_pairs=MP,
+                                interpret=True, cutoff_map=None,
+                                serving=True)
+        # ellipse drops below-threshold pairs -> scan order shifts;
+        # ~1e-5-class fp noise at ~300 blended splats/pixel
+        tol = 2e-2 if tier.get("payload") == "compact" else 1e-4
+        np.testing.assert_allclose(np.asarray(out.color),
+                                   np.asarray(base.color),
+                                   rtol=tol, atol=tol)
+        assert aux.pair_depth is not None
+        # second frame with the computed cutoff map must stay finite
+        from gsrt.serving import update_cutoff_map
+        import jax.numpy as jnp
+        ntx, nty = -(-W // 16), -(-H // 16)
+        cm0 = jnp.full((ntx * nty,), jnp.inf)
+        cm, _ = update_cutoff_map(aux, out.trans, cm0, width=W, height=H,
+                                  tile_w=16, tile_h=16, bs=cfg.blend_bs)
+        out2, _ = render_tiled(cloud, camera, cfg, max_pairs=MP,
+                               interpret=True, cutoff_map=cm,
+                               serving=True)
+        assert np.isfinite(np.asarray(out2.color)).all()
