@@ -538,6 +538,10 @@ def trace_gaussian_rays(cloud: GaussianCloud, origins, dirs,
     tmax_r = jnp.broadcast_to(
         jnp.asarray(cfg.t_max if t_max is None else t_max, jnp.float32),
         (R,))
+    # the k-buffer uses init_depth as the empty-slot sentinel and counts
+    # hits as kd < init_depth — depths past it would be silently dropped,
+    # so clamp the window to it explicitly
+    tmax_r = jnp.minimum(tmax_r, jnp.float32(cfg.init_depth))
     chunk = min(cfg.splat_chunk, max(N, 8))
     (means_p, cov_inv_p, opac_p, colors_p), n_pad = _pad_splats(
         [cloud.means, cov_inv,

@@ -113,12 +113,12 @@ def _expand_kernel(
     out_ref[...] = pltpu.bitcast(y[:, 128:128 + C], jnp.float32)
 
 
-def _rank_at(base_c: jnp.ndarray, queries: jnp.ndarray,
-             vmax: int) -> jnp.ndarray:
+def _rank_at(base_c: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     """rank[i] = #{j: base_c[j] <= queries[i]} - 1 (so -1 before the first
     base). Same two packed single-operand sorts as _merge_rank, but over
     n + len(queries) rows — used for COARSE ranks (~3% of the rows the
-    dense merge pays). queries must be sorted ascending, in [0, vmax)."""
+    dense merge pays). queries must be sorted ascending, non-negative,
+    with 2·max(query)+1 < 2^31 (the key packing)."""
     nq = queries.shape[0]
     packed = jnp.concatenate([base_c * 2, queries * 2 + 1])
     p1 = jax.lax.sort(packed, is_stable=False)
@@ -393,7 +393,7 @@ def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     qs = jnp.arange(TP + 1, dtype=jnp.int32) * 128   # pairs 0,128,...
     coarse = jnp.concatenate(
         [jnp.full((1,), -1, jnp.int32),
-         _rank_at(base_c, qs, mp_pad * 2).astype(jnp.int32),
+         _rank_at(base_c, qs).astype(jnp.int32),
          jnp.zeros((1,), jnp.int32)])                # [TP + 3]
     # first table column of chunk g: s at pair g*C, floored to 128
     s_chunk = coarse[jnp.arange(G, dtype=jnp.int32) * (chunk // 128) + 1]

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 
 from gsrt.core.config import RenderConfig
 from gsrt.core.types import GaussianCloud
-from gsrt.ops.clusters import Clusters, build_clusters, safe_inv_dir
+from gsrt.ops.clusters import (Clusters, build_clusters,
+                               ray_aabb_hit, safe_inv_dir)
 from gsrt.ops.gaussian import invert_cov3d, ray_gaussian_response
 
 
@@ -116,12 +117,9 @@ def plan_visits(sc: SplatClusters, orig, dirn, t_lo, t_hi,
     B = R // rb
     inv_d = safe_inv_dir(dirn)
     # [R, MS] slab test against every super-cluster
-    lo = (cl.sup_min[None, :, :] - orig[:, None, :]) * inv_d[:, None, :]
-    hi = (cl.sup_max[None, :, :] - orig[:, None, :]) * inv_d[:, None, :]
-    t_near = jnp.max(jnp.minimum(lo, hi), axis=-1)
-    t_far = jnp.min(jnp.maximum(lo, hi), axis=-1)
-    hit = ((t_near <= t_far) & (t_far >= t_lo[:, None])
-           & (t_near <= t_hi[:, None]))
+    hit = ray_aabb_hit(orig[:, None, :], inv_d[:, None, :],
+                       cl.sup_min[None], cl.sup_max[None],
+                       t_lo[:, None], t_hi[:, None])
     block_hit = jnp.any(hit.reshape(B, rb, ms), axis=1)        # [B, MS]
     n_hit = jnp.sum(block_hit, axis=1).astype(jnp.int32)       # [B]
     overflow = jnp.any(n_hit > s_max)
@@ -166,6 +164,10 @@ def trace_gaussian_rays_clustered(
     tmax_r = jnp.broadcast_to(
         jnp.asarray(cfg.t_max if t_max is None else t_max, jnp.float32),
         (R0,))
+    # the k-buffer uses init_depth as the empty-slot sentinel and counts
+    # hits as kd < init_depth — depths past it would be silently dropped,
+    # so clamp the window to it (same contract as trace_gaussian_rays)
+    tmax_r = jnp.minimum(tmax_r, jnp.float32(cfg.init_depth))
     tmax_r = jnp.concatenate(
         [tmax_r, jnp.full((pad,), -jnp.inf)], axis=0) if pad else tmax_r
 

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gsrt.ops.tile_binning import TileBinning, tile_extent
 
 TRI_PAY = 16   # payload rows (11 used, padded to two sublane tiles)
+_MAX_CAST_CHUNK = 512  # cast_primary chunk ceiling the payload pad covers
 _INF = 3.4e38            # python literals: jnp scalars would be
 _ID_SENTINEL = 0x7FFFFFFF  # captured as consts by pallas_call
 
@@ -154,17 +155,9 @@ def build_tri_binning(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
         pv0 = rr[:, 2:5]
         pv1 = pv0 + rr[:, 5:8]
         pv2 = pv0 + rr[:, 8:11]
-
-        def proj_r(v):
-            p = v @ R.T + tr
-            z = p[:, 2]
-            zs = jnp.where(z > 1e-4, z, 1.0)
-            return (camera.fx * p[:, 0] / zs + camera.cx,
-                    camera.fy * p[:, 1] / zs + camera.cy, z)
-
-        xa_r, ya_r, za_r = proj_r(pv0)
-        xb_r, yb_r, zb_r = proj_r(pv1)
-        xc_r, yc_r, zc_r = proj_r(pv2)
+        xa_r, ya_r, za_r = proj(pv0)
+        xb_r, yb_r, zb_r = proj(pv1)
+        xc_r, yc_r, zc_r = proj(pv2)
         behind_r = jnp.minimum(jnp.minimum(za_r, zb_r), zc_r) <= 1e-4
 
         yb0 = ty_r.astype(jnp.float32) * tile_h - jitter_pad
@@ -253,7 +246,11 @@ def build_tri_binning(v0, v1, v2, camera, *, tile_w: int, tile_h: int,
     feats_s = list(sorted_ops[1:])
 
     dead = tile_s >= T
-    pad = chunk + 128
+    # pad for the cast kernel's aligned over-fetch window: support any
+    # cast-side chunk up to _MAX_CAST_CHUNK regardless of the build-side
+    # chunk (the two are otherwise uncoupled; a larger cast window than
+    # this pad would DMA past the payload end)
+    pad = max(chunk, _MAX_CAST_CHUNK) + 128
     # dead lanes: id = sentinel, zmin = +INF (inert in min folds), geometry
     # degenerate (zero edges -> det 0 -> rejected)
     feats_s = [jnp.where(dead, 0.0, f) for f in feats_s[:9]] + \
@@ -488,7 +485,7 @@ def _tri_cast_kernel(
             im = jnp.min(idc, axis=1, keepdims=True)   # (win, 1)
 
             upd = colmask & ((m < bt_s) & (m < _INF))
-            best_t = jnp.where(upd, jnp.minimum(m, bt_s), best_t)
+            best_t = jnp.where(upd, m, best_t)
             best_id = jnp.where(upd, im, best_id)
             return best_t, best_id
 
@@ -526,6 +523,8 @@ def cast_primary(binning: TileBinning, dirs, origin, *, width: int,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert chunk <= _MAX_CAST_CHUNK, \
+        "cast chunk exceeds the payload pad built by build_tri_binning"
     ntx, nty = tile_extent(width, height, tile_w, tile_h)
     T = ntx * nty
     win = tile_w * tile_h
