@@ -283,7 +283,10 @@ def _blend_packed_kernel(
                 # alpha_clamp = 0.99 keeps log(1-α) ≥ log(0.01) — finite.
                 segmat = ((s_tile == s_tile.reshape(LANES, 1))
                           & (lane > lane.reshape(LANES, 1)))  # (128, 128)
-                lm = jnp.log(one_minus)                       # (win, 128)
+                # floor keeps log finite if alpha_clamp is ever 1.0: a
+                # -inf row would NaN-poison every segment through the
+                # matmul's -inf * 0 terms (the roll scan just yields 0)
+                lm = jnp.log(jnp.maximum(one_minus, 1e-30))   # (win, 128)
                 excl = jnp.exp(dot_split(lm, segmat.astype(acc_dtype)))
             else:
                 excl = jnp.where(same_seg(1),

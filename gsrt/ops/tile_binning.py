@@ -540,6 +540,10 @@ def _build_ellipse(
     span.
     """
     assert nty <= 255, "ellipse spans pack the tile-row count in 8 bits"
+    if compact:
+        # fail fast like _build_compact's rect path: _finish_compact packs
+        # the x-span into 7 bits, and wider grids would silently corrupt
+        assert ntx <= 127, "compact payload packs the tile x-span in 7 bits"
     from gsrt.ops.pair_expand import _DEAD_BASE
 
     rows_n = jnp.where(touched > 0, y1 - y0 + 1, 0)
@@ -565,21 +569,37 @@ def _build_ellipse(
     rows_total = row_off[-1]
     row_base = jnp.where(rows_s > 0, row_off - rows_s, _DEAD_BASE)
 
-    # --- level-1: expand splats → tile-row units (ONE 2D repeat) ---
+    # --- level-1: expand splats → tile-row units (the same run-expansion
+    # machinery as level 2: Pallas/fused kernel when configured — the XLA
+    # ragged repeat costs ~65 ms per 3M rows, exactly what expand_pairs
+    # was built to avoid) ---
     bi = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     xgeo = x0s | (x1s << 12) | (y0s << 24)
-    tab = jnp.stack([bi(xgeo), bi(row_base), m2x_s, m2y_s,
-                     qa_s, qb_s, qc_s, op_s, rgp, bop, depth_s], axis=-1)
-    rrows = jnp.repeat(tab, rows_s, axis=0,
-                       total_repeat_length=max_rows)         # [MR, 11]
-    rgeo = jax.lax.bitcast_convert_type(rrows[:, 0], jnp.int32)
-    rbase = jax.lax.bitcast_convert_type(rrows[:, 1], jnp.int32)
+    tab_cols = [bi(xgeo), bi(row_base), m2x_s, m2y_s,
+                qa_s, qb_s, qc_s, op_s, rgp, bop, depth_s]
+    if expand_impl in ("pallas", "fused"):
+        from gsrt.ops.pair_expand import expand_pairs, expand_pairs_fused
+        ep = expand_pairs_fused if expand_impl == "fused" else expand_pairs
+        tabf = jnp.stack(
+            tab_cols + [jnp.zeros_like(depth_s)] * 5, axis=0)  # [16, N]
+        rf = ep(tabf, row_base, max_rows, interpret=interpret)  # [16, MR]
+        rgeo = jax.lax.bitcast_convert_type(rf[0], jnp.int32)
+        rbase = jax.lax.bitcast_convert_type(rf[1], jnp.int32)
+        mx, my = rf[2], rf[3]
+        qa_r, qb_r, qc_r = rf[4], rf[5], rf[6]
+        op_r = rf[7]
+        rgp_r, bop_r, depth_r = rf[8], rf[9], rf[10]
+    else:
+        rrows = jnp.repeat(jnp.stack(tab_cols, axis=-1), rows_s, axis=0,
+                           total_repeat_length=max_rows)     # [MR, 11]
+        rgeo = jax.lax.bitcast_convert_type(rrows[:, 0], jnp.int32)
+        rbase = jax.lax.bitcast_convert_type(rrows[:, 1], jnp.int32)
+        mx, my = rrows[:, 2], rrows[:, 3]
+        qa_r, qb_r, qc_r = rrows[:, 4], rrows[:, 5], rrows[:, 6]
+        op_r = rrows[:, 7]
+        rgp_r, bop_r, depth_r = rrows[:, 8], rrows[:, 9], rrows[:, 10]
     rx0, rx1 = rgeo & 0xFFF, (rgeo >> 12) & 0xFFF
     ry0 = (rgeo >> 24) & 0xFF
-    mx, my = rrows[:, 2], rrows[:, 3]
-    qa_r, qb_r, qc_r = rrows[:, 4], rrows[:, 5], rrows[:, 6]
-    op_r = rrows[:, 7]
-    rgp_r, bop_r, depth_r = rrows[:, 8], rrows[:, 9], rrows[:, 10]
 
     rslot = jnp.arange(max_rows, dtype=jnp.int32)
     rvalid = rslot < jnp.minimum(rows_total, max_rows)
@@ -745,11 +765,18 @@ def _finish_compact(
     tile = jnp.where(valid, ty * ntx + tx, T).astype(jnp.int32)
 
     # tile-relative fixed-point mean (garbage on dead slots — zeroed below)
-    meanp = pack_mean_rel(
-        jax.lax.bitcast_convert_type(m2xp, jnp.float32)
-        - (tx * tile_w).astype(jnp.float32),
-        jax.lax.bitcast_convert_type(m2yp, jnp.float32)
-        - (ty * tile_h).astype(jnp.float32))
+    mx_rel = (jax.lax.bitcast_convert_type(m2xp, jnp.float32)
+              - (tx * tile_w).astype(jnp.float32))
+    my_rel = (jax.lax.bitcast_convert_type(m2yp, jnp.float32)
+              - (ty * tile_h).astype(jnp.float32))
+    meanp = pack_mean_rel(mx_rel, my_rel)
+    # a mean past the coarse tier's ±2048 px range would decode clamped
+    # and paint a ghost; such a pair's TRUE response is near the alpha
+    # threshold (the tile sits >2 Kpx from the mean, so only a >600-px-σ
+    # tail reaches it) — drop it instead of mis-decoding
+    mean_sat = ((jnp.abs(mx_rel) >= MEAN_COARSE_BIAS - 0.5)
+                | (jnp.abs(my_rel) >= MEAN_COARSE_BIAS - 0.5))
+    bopp = jnp.where(mean_sat, 0, bopp)   # opacity 0 -> inert
 
     # --- stable tile sort: 6 int32 operands ---
     sorted_ops = jax.lax.sort((tile, meanp, qabp, qcdp, rgpp, bopp),

@@ -47,8 +47,7 @@ def initialize(coordinator_address: str | None = None,
     with the standard runtime all three are auto-detected and this reduces
     to `jax.distributed.initialize()`. Idempotent. Must run before any
     call that initializes the XLA backend (jax.devices etc.)."""
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:
+    if jax.distributed.is_initialized():
         return                         # already initialized
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR")
