@@ -57,18 +57,24 @@ def tiled_blend_diff(cfg: RenderConfig, camera: Camera, max_pairs: int,
                   and cfg.g_cutoff >= 5.55
                   and not cfg.use_exp_lut)
 
+    # the backward kernel is VMEM-bound to 128-pair chunks; the forward
+    # must use the SAME chunk or its saturation early-stop blends pairs
+    # at chunk-boundary granularity the backward then skips (zero grads
+    # for pairs inside a straddling chunk)
+    diff_chunk = min(cfg.pair_chunk, 128)
+
     def _forward(m2x, m2y, qa, qb, qc, opacity, cr, cg, cb):
         binning = build_tile_binning(
             depth, m2x, m2y, qa, qb, qc, opacity, cr, cg, cb, rx, ry,
             alive, width=W, height=H, tile_w=tw, tile_h=th,
-            chunk=cfg.pair_chunk, max_pairs=max_pairs,
+            chunk=diff_chunk, max_pairs=max_pairs,
             expand_impl=cfg.expand_impl, interpret=interpret,
             with_ids=True)
         binning = jax.lax.optimization_barrier(binning)
         if (tw, th) == (128, 8):
             from gsrt.ops.splat_pallas import blend_tiles
             color, trans = blend_tiles(
-                binning, width=W, height=H, chunk=cfg.pair_chunk,
+                binning, width=W, height=H, chunk=diff_chunk,
                 g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
                 alpha_clamp=alpha_clamp, interpret=interpret,
                 skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
@@ -76,7 +82,7 @@ def tiled_blend_diff(cfg: RenderConfig, camera: Camera, max_pairs: int,
             from gsrt.ops.splat_subtile import blend_subtiles
             color, trans = blend_subtiles(
                 binning, width=W, height=H, sub_w=tw, sub_h=th,
-                chunk=cfg.pair_chunk, g_cutoff=cfg.g_cutoff,
+                chunk=diff_chunk, g_cutoff=cfg.g_cutoff,
                 alpha_threshold=cfg.alpha_threshold,
                 alpha_clamp=alpha_clamp, interpret=interpret,
                 skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
@@ -118,7 +124,7 @@ def tiled_blend_diff(cfg: RenderConfig, camera: Camera, max_pairs: int,
         # 128x8 tiles measured 40 MB -> compile OOM)
         grad = blend_backward(
             payload, tile_start, pixstate, width=W, height=H,
-            tile_w=tw, tile_h=th, chunk=min(cfg.pair_chunk, 128),
+            tile_w=tw, tile_h=th, chunk=diff_chunk,
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, skip_range_check=skip_range,
             use_exp_lut=cfg.use_exp_lut, interpret=interpret)

@@ -147,11 +147,17 @@ def plan_visits(orig, dirn, t_min, t_max, sup_min, sup_max,
     # bundles (AO hemispheres) degrade to sin=1 and fall back to the
     # interval test. (The reference's ray-coherency packets, SURVEY.md S8,
     # exploit the same bundle structure.)
-    axis = db.mean(1)                                  # (B, 3)
+    # normalize for the cone math only (the interval test and the kernel
+    # are magnitude-correct in t units; the cone compares Euclidean axis
+    # distances, so it needs unit rays and a |d|-scaled distance bound)
+    dmag = jnp.linalg.norm(db, axis=-1, keepdims=True)           # (B,rb,1)
+    dn = db / jnp.maximum(dmag, 1e-12)
+    dist_blk = tmax_blk * dmag[:, :, 0].max(1)[:, None]          # (B, 1)
+    axis = dn.mean(1)                                  # (B, 3)
     axis = axis / jnp.maximum(
         jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-9)
-    cos_t = jnp.min(jnp.sum(db * axis[:, None, :], -1), axis=1)  # (B,)
-    cos_t = jnp.clip(cos_t, 0.0, 1.0)      # >90° spread: cone test inert
+    cos_raw = jnp.min(jnp.sum(dn * axis[:, None, :], -1), axis=1)  # (B,)
+    cos_t = jnp.clip(cos_raw, 0.0, 1.0)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     o_c = 0.5 * (olo + ohi)[:, 0, :]                   # (B, 3)
     o_r = 0.5 * jnp.linalg.norm((ohi - olo)[:, 0, :], axis=-1)
@@ -161,7 +167,7 @@ def plan_visits(orig, dirn, t_min, t_max, sup_min, sup_max,
     # in-cluster distance along the axis
     v = c_c[None, :, :] - o_c[:, None, :]              # (B, MS, 3)
     dz = jnp.sum(v * axis[:, None, :], -1)             # (B, MS)
-    reach = jnp.minimum(jnp.maximum(dz + c_r[None, :], 0.0), tmax_blk)
+    reach = jnp.minimum(jnp.maximum(dz + c_r[None, :], 0.0), dist_blk)
     # tan, not sin: ray parameter t can exceed the axis projection by
     # 1/cos, and wide bundles (cos -> 0) must inflate to "no culling"
     tan_t = sin_t / jnp.maximum(cos_t, 1e-3)
@@ -181,7 +187,11 @@ def plan_visits(orig, dirn, t_min, t_max, sup_min, sup_max,
     # axes where the mean direction vanishes cull by position containment
     contained = jnp.all(u3 | ((amin <= 0.0) & (amax >= 0.0)), -1)
     cone_ok = ((near <= far) & (far >= -o_r[:, None])
-               & (near <= tmax_blk) & contained)
+               & (near <= dist_blk) & contained)
+    # a block whose direction spread exceeds 90° has no bounding cone:
+    # reach clamps at 0 behind the center and would falsely cull clusters
+    # that a backward-pointing ray genuinely hits — skip the test there
+    cone_ok = cone_ok | (cos_raw <= 0.0)[:, None]
     mask &= cone_ok
 
     counts = jnp.sum(mask, axis=1, dtype=jnp.int32)          # (B,)
@@ -347,7 +357,10 @@ def closest_hit_packed(tt: TriTable, orig, dirn, t_min, t_max,
         # 64K entries covers e.g. 32K rays x 100 superclusters dense; very
         # large launches should chunk rays (or raise rb) — plan.overflow
         # reports truncation.
-        max_visits = min(B * ms, 1 << 16)
+        # the visit list is B*ms int32 at worst — allocate it fully up to
+        # 16 MB (a 64K cap silently truncated wide bounce waves over big
+        # scenes: blocks past the cap traversed nothing and reported miss)
+        max_visits = min(B * ms, 1 << 22)
     plan = plan_visits(orig, dirn, tmin_a, tmax_a, tt.sup_min, tt.sup_max,
                        rb, max_visits)
 

@@ -117,7 +117,10 @@ def _serving_step(fm: FMCloud, camera: Camera, cutoff_map, cfg: RenderConfig,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h, bs=cfg.blend_bs,
         term_eps=1e-4, margin=margin, floor_pairs=floor_pairs)
     scalars = jnp.stack([
-        jnp.sum(violation).astype(jnp.int32),
+        # violations only mean "a culled frame degraded" — without the
+        # cull pass nothing was dropped, so don't report drain-lag noise
+        (jnp.sum(violation) if use_cull else jnp.zeros((), jnp.int32)
+         ).astype(jnp.int32),
         jnp.sum(aux.tile_count),
         out.overflow.astype(jnp.int32),
         jnp.sum(jnp.isfinite(new_map)).astype(jnp.int32)])
@@ -199,8 +202,9 @@ class ServingRenderer:
 
     def _drain_one(self):
         rec, scalars = self._pending.pop(0)
-        nviol, total, overflow, n_finite = (int(v) for v in
-                                            jnp.asarray(scalars))
+        # ONE transfer: iterating a device array would issue a sliced
+        # device->host read per element (~30 ms each through the tunnel)
+        nviol, total, overflow, n_finite = map(int, jax.device_get(scalars))
         rec.update(violations=nviol, pairs=total, overflow=bool(overflow))
         self._use_cull = n_finite > 0
         if overflow:
@@ -236,6 +240,9 @@ class ServingRenderer:
         if self.cutoff_map is None or self.cutoff_map.shape[0] != T:
             self.finish()
             self.cutoff_map = jnp.full((T,), jnp.inf, jnp.float32)
+            # all-inf map can cull nothing — don't pay the cull pass (or
+            # compile the use_cull variant) until cutoffs turn finite
+            self._use_cull = False
 
         t0 = time.perf_counter()
         used_cull = self._use_cull
@@ -257,9 +264,9 @@ class ServingRenderer:
                     nocull = jnp.full((T,), jnp.inf, jnp.float32)
                     out, _, s2 = self._fn(self.max_pairs, False)(
                         self._fm, camera, nocull)
-                    if bool(jnp.asarray(s2)[2]):      # still overflowing
-                        self.max_pairs = pair_bucket(
-                            int(jnp.asarray(s2)[1]) * 2)
+                    s2h = jax.device_get(s2)          # one transfer
+                    if bool(s2h[2]):                  # still overflowing
+                        self.max_pairs = pair_bucket(int(s2h[1]) * 2)
                         out, _, _ = self._fn(self.max_pairs, False)(
                             self._fm, camera, nocull)
                     rec["full_renders"] += 1
