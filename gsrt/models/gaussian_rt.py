@@ -189,31 +189,6 @@ def render_reference(cloud: GaussianCloud, camera: Camera,
     k = cfg.k
     init_d = jnp.float32(cfg.init_depth)
 
-    def one_pass(front):
-        """Gather the k nearest splats beyond `front` for every pixel by
-        merging per-chunk top-k buffers (replaces NextK insert-sort)."""
-        def body(c, carry):
-            kd, ka = carry
-            ds = jax.lax.dynamic_slice_in_dim(depth, c * chunk, chunk)
-            m2 = jax.lax.dynamic_slice_in_dim(mean2d, c * chunk, chunk)
-            qd = jax.lax.dynamic_slice_in_dim(quad, c * chunk, chunk)
-            op = jax.lax.dynamic_slice_in_dim(opac, c * chunk, chunk)
-            inf = jax.lax.dynamic_slice_in_dim(in_front, c * chunk, chunk)
-            alpha, accept = _chunk_alphas(pix, m2, qd, ds, op, inf, cfg, lut)
-            valid = accept & (ds[None, :] > front[:, None])   # depth-front cull
-            cd = jnp.where(valid, ds[None, :], init_d)
-            # merge with running k-buffer
-            md = jnp.concatenate([kd, cd], axis=-1)
-            ma = jnp.concatenate([ka, jnp.where(valid, alpha, 0.0)], axis=-1)
-            kd2, ka2, _ = topk_nearest(md, ma, md < init_d, k, cfg.init_depth)
-            return kd2, ka2
-
-        kd0 = jnp.full((P, k), init_d)
-        ka0 = jnp.zeros((P, k))
-        kd, ka = jax.lax.fori_loop(0, n_chunks, body, (kd0, ka0))
-        count = jnp.sum(kd < init_d, axis=-1).astype(jnp.int32)
-        return kd, ka, count
-
     # colors for the k selected splats need indices; in reference mode only
     # trans matters, but we support color by re-looking-up via depth match.
     # Simpler: run the pass loop for (trans, front), and composite color by
@@ -395,10 +370,20 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     render_reference.
     """
     from gsrt.ops.gaussian import screen_extents_abc
-    from gsrt.ops.tile_binning import build_tile_binning
+    from gsrt.ops.tile_binning import build_tile_binning, tile_extent
 
     if cloud.n == 0:
-        return _empty_output(camera, cfg)
+        out = _empty_output(camera, cfg)
+        if serving:
+            ntx0, nty0 = tile_extent(camera.width, camera.height,
+                                     cfg.tile_w, cfg.tile_h)
+            T0 = ntx0 * nty0
+            return out, ServingAux(
+                tile_start=jnp.zeros((T0 + 1,), jnp.int32),
+                tile_count=jnp.zeros((T0,), jnp.int32),
+                pair_depth=jnp.zeros((max_pairs,), jnp.float32),
+                consumed=jnp.zeros((1, cfg.blend_bs), jnp.int32))
+        return out
     fm = cloud if isinstance(cloud, FMCloud) else fm_from_cloud(cloud)
     depth, m2x, m2y, qa, qb, qc, in_front, cr, cg, cb = _precompute_fm(
         fm, camera, cfg)
@@ -418,6 +403,10 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
             "compact payload requires the packed blend kernel"
         ntx = -(-camera.width // tw)
         if ntx > 127:       # 7-bit x-span budget (ok through 2K at 16 px)
+            compact = False
+        if (tw, th) == (128, 8):
+            # this tile shape dispatches the round-1 blend_tiles kernel,
+            # which only reads the f32 payload — fall back like ntx > 127
             compact = False
     span_mode = cfg.span_mode
     if span_mode == "ellipse" and -(-camera.height // th) > 255:
@@ -767,7 +756,6 @@ class GaussianRayTracer:
         # every frame must be exact.
         self.defer_overflow = defer_overflow
         self._overflow_pending: list = []
-        self._count = jax.jit(functools.partial(count_pairs, cfg=cfg))
         self._tiled_cache: dict[int, callable] = {}
         self._fm_src = None        # cloud object the cached FMCloud mirrors
         self._fm: Optional[FMCloud] = None
@@ -790,11 +778,16 @@ class GaussianRayTracer:
         # (TPU or CPU backend) in the same process makes re-execution of the
         # render program fail with InvalidArgument on the axon TPU runtime,
         # so sizing must not go through jax at all.
-        if self.cfg.span_mode == "ellipse":
+        ellipse = (self.cfg.span_mode == "ellipse"
+                   and -(-camera.height // self.cfg.tile_h) <= 255)
+        if ellipse:   # must mirror render_tiled's rect fallback exactly,
+                      # or rect-mode pair counts permanently overflow the
+                      # ellipse-sized bucket
             total, rows = count_rows_pairs_numpy(cloud, camera, self.cfg)
             self.max_rows = pair_bucket(int(rows * 1.1))
         else:
             total = int(count_pairs_numpy(cloud, camera, self.cfg))
+            self.max_rows = None
         # 10% slack + overflow re-render (below) beats fat safety margins
         self.max_pairs = pair_bucket(int(total * 1.1))
         return self.max_pairs
@@ -815,7 +808,9 @@ class GaussianRayTracer:
         # (or, with defer_overflow, re-calibrate a few frames late)
         if self.defer_overflow > 0:
             self._overflow_pending.append(out.overflow)
-            if len(self._overflow_pending) >= self.defer_overflow:
+            # pop only when a flag is defer_overflow frames OLD — popping
+            # at == depth would sync on the just-dispatched frame
+            if len(self._overflow_pending) > self.defer_overflow:
                 if bool(self._overflow_pending.pop(0)):
                     self.calibrate(cloud, camera)
                     out = self._tiled_fn(self.max_pairs)(self._fm, camera)

@@ -102,9 +102,7 @@ def render_loss(params: GaussianParams, target, camera: Camera,
                 cfg: RenderConfig, lambda_ssim: float = 0.2):
     """The standard 3DGS loss: (1-λ)·L1 + λ·(1−SSIM)."""
     out = render_fast(params.to_cloud(), camera, cfg)
-    img = out.color
-    if cfg.white_background:
-        pass  # already applied in render_fast
+    img = out.color  # white background (if any) already composited
     l1 = jnp.mean(jnp.abs(img - target))
     if lambda_ssim > 0 and min(camera.height, camera.width) >= 11:
         loss = (1 - lambda_ssim) * l1 + lambda_ssim * (1 - _ssim(img, target))
@@ -168,7 +166,6 @@ def make_train_step_dp(cfg: RenderConfig, optimizer, mesh,
     opt_state replicated, target sharded P('tiles') on rows.
     """
     from jax.sharding import PartitionSpec as P
-    n_tiles = mesh.shape["tiles"]
 
     def loss_slab(params, target_slab, camera):
         slab_h = target_slab.shape[0]
@@ -189,18 +186,18 @@ def make_train_step_dp(cfg: RenderConfig, optimizer, mesh,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P("tiles"), P()),
+        in_specs=(P(), P("tiles"), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def grad_shard(params, opt_params_dummy, target, camera):
+    def grad_shard(params, target, camera):
         loss, grads = jax.value_and_grad(loss_slab)(params, target, camera)
         grads = jax.lax.pmean(grads, "tiles")
         loss = jax.lax.pmean(loss, "tiles")
         return loss, grads
 
     def step(params, opt_state, target, camera):
-        loss, grads = grad_shard(params, params, target, camera)
+        loss, grads = grad_shard(params, target, camera)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -212,6 +212,10 @@ def _assemble(all_parts, mat_rows, tex_ids, atlas, transform):
     v_list, uv_list, t_list = [], [], []
     v_off = 0
     uv_off = 0
+    # a part's uvs list always holds its index-0 sentinel; real texcoords
+    # mean len > 1. The shifted sentinel indices of later parts are > 0,
+    # so the t[:, 3:6] > 0 test alone would false-positive.
+    any_real_uv = any(len(uvs) > 1 for _, uvs, _ in all_parts)
     for verts, uvs, tris in all_parts:
         v_list.append(np.asarray(verts, np.float32).reshape(-1, 3))
         uv_list.append(np.asarray(uvs, np.float32).reshape(-1, 2))
@@ -240,7 +244,7 @@ def _assemble(all_parts, mat_rows, tex_ids, atlas, transform):
                     if any_tex and textures is not None else None),
     )
     empty3, empty1, empty_i = _empty_scene_arrays()
-    has_uv = bool((t[:, 3:6] > 0).any()) if len(t) else False
+    has_uv = any_real_uv and len(t) > 0
     uvs3 = [jnp.asarray(uv[t[:, 3 + i]]) for i in range(3)] \
         if has_uv else [None, None, None]
     return PrimitiveScene(
