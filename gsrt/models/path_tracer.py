@@ -149,6 +149,20 @@ def _tri_uv(scene, i, u, v):
             + v[:, None] * scene.tri_uv2[i])
 
 
+def _barycentric(orig, dirn, v0, v1, v2):
+    """Per-ray (u, v) of each ray's winning triangle — elementwise [R]
+    Möller–Trumbore (one triangle per ray)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = jnp.cross(dirn, e2)
+    det = jnp.sum(e1 * pvec, -1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = orig - v0
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    v = jnp.sum(dirn * jnp.cross(tvec, e1), -1) * inv_det
+    return u, v
+
+
 def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
                  tri_override=None):
     """Nearest hit across all primitive types.
@@ -210,14 +224,7 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
         best_n = jnp.where(upd[:, None], n, best_n)
         best_m = jnp.where(upd, scene.tri_mat[i], best_m)
         if best_uv is not None:
-            e1 = v1 - v0
-            e2 = v2 - v0
-            pvec = jnp.cross(dirn, e2)
-            det = jnp.sum(e1 * pvec, -1)
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvec = orig - v0
-            u = jnp.sum(tvec * pvec, -1) * inv_det
-            v = jnp.sum(dirn * jnp.cross(tvec, e1), -1) * inv_det
+            u, v = _barycentric(orig, dirn, v0, v1, v2)
             best_uv = jnp.where(upd[:, None], _tri_uv(scene, i, u, v),
                                 best_uv)
     elif scene.tri_table is not None:
@@ -235,16 +242,7 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
         best_n = jnp.where(upd[:, None], n, best_n)
         best_m = jnp.where(upd, scene.tri_mat[i], best_m)
         if best_uv is not None:
-            # re-derive barycentrics of each ray's winning triangle —
-            # elementwise [R] Möller-Trumbore (one triangle per ray)
-            e1 = v1 - v0
-            e2 = v2 - v0
-            pvec = jnp.cross(dirn, e2)
-            det = jnp.sum(e1 * pvec, -1)
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvec = orig - v0
-            u = jnp.sum(tvec * pvec, -1) * inv_det
-            v = jnp.sum(dirn * jnp.cross(tvec, e1), -1) * inv_det
+            u, v = _barycentric(orig, dirn, v0, v1, v2)
             best_uv = jnp.where(upd[:, None], _tri_uv(scene, i, u, v),
                                 best_uv)
     elif scene.tri_clusters is not None:
@@ -262,16 +260,7 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
         best_n = jnp.where(upd[:, None], n, best_n)
         best_m = jnp.where(upd, tc.mat[bc, bk], best_m)
         if best_uv is not None:
-            # re-derive barycentrics of each ray's winning triangle —
-            # elementwise [R] Möller-Trumbore (one triangle per ray)
-            e1 = v1 - v0
-            e2 = v2 - v0
-            pvec = jnp.cross(dirn, e2)
-            det = jnp.sum(e1 * pvec, -1)
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvec = orig - v0
-            u = jnp.sum(tvec * pvec, -1) * inv_det
-            v = jnp.sum(dirn * jnp.cross(tvec, e1), -1) * inv_det
+            u, v = _barycentric(orig, dirn, v0, v1, v2)
             w = 1.0 - u - v
             uvh = (w[:, None] * tc.uv0[bc, bk] + u[:, None] * tc.uv1[bc, bk]
                    + v[:, None] * tc.uv2[bc, bk])
@@ -329,8 +318,8 @@ def _closest_hit_cutout(scene: PrimitiveScene, orig, dirn, t_min, t_max,
               jnp.zeros((R,), jnp.int32), jnp.zeros((R,), bool),
               jnp.zeros((R, 2)), jnp.zeros((R,), bool))
 
-    def body(_, state):
-        tmin_cur, bt, bn, bm, bhit, buv, done = state
+    def body(state):
+        i, tmin_cur, bt, bn, bm, bhit, buv, done = state
         t, n, m, hit, uv = _closest_hit(scene, orig, dirn, tmin_cur, t_max)
         alpha = _sample_alpha(scene, m, n, uv)
         cut = hit & (alpha < 0.5) & ~done
@@ -343,10 +332,15 @@ def _closest_hit_cutout(scene: PrimitiveScene, orig, dirn, t_min, t_max,
             buv = jnp.where(settle[:, None], uv, buv)
         done = done | settle
         tmin_cur = jnp.where(cut[:, None], t[:, None] + 1e-3, tmin_cur)
-        return tmin_cur, bt, bn, bm, bhit, buv, done
+        return i + 1, tmin_cur, bt, bn, bm, bhit, buv, done
 
-    _, bt, bn, bm, bhit, buv, done = jax.lax.fori_loop(
-        0, max_skips + 1, body, state0)
+    # while, not fori: nearly every ray settles on iteration 1, and each
+    # extra iteration re-pays a FULL scene traversal
+    def cond(state):
+        return (state[0] <= max_skips) & ~jnp.all(state[-1])
+
+    _, _, bt, bn, bm, bhit, buv, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0),) + state0)
     return bt, bn, bm, bhit & done, (buv if has_uv else None)
 
 
@@ -699,13 +693,22 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
     vis = jnp.zeros((orig.shape[0],))
     for s in range(cfg.shadow_rays):
         ks = jax.random.fold_in(key, s + 1)
+        # reference quirk kept intentionally: the target samples the FULL
+        # light sphere and nothing excludes the emitter's own geometry, so
+        # targets behind the light surface read occluded
+        # (TraceShadow.rgen:77-90 traces to tMax = |light - point| with no
+        # light-material filter)
         target = jnp.asarray(light_pos) + light_radius * _random_unit(
             ks, (orig.shape[0], 3))
         ld = target - hit_p
         dist = jnp.linalg.norm(ld, axis=-1, keepdims=True)
         ld = ld / jnp.maximum(dist, 1e-9)
-        # per-ray t_max broadcasts [R,1] against [R,P] primitive tests
-        occluded = _any_hit(scene, hit_p, ld, cfg.t_min, dist - 1e-2)
+        # per-ray t_max broadcasts [R,1] against [R,P] primitive tests;
+        # rays INTO the surface count occluded without tracing
+        # (TraceShadow.rgen:85 "Only accept shadow rays away from surface")
+        below = jnp.sum(ld * n, axis=-1) <= 0
+        occluded = below | _any_hit(scene, hit_p, ld, cfg.t_min,
+                                    dist - 1e-2)
         vis = vis + jnp.where(occluded, 0.0, 1.0)
     vis = vis / max(cfg.shadow_rays, 1)
     ndl = jnp.maximum(jnp.sum(n * (jnp.asarray(light_pos) - hit_p), -1), 0.0)
@@ -724,9 +727,12 @@ def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
                              tri_max_pairs: int = 1 << 20,
                              tri_span_exact: bool = False,
                              interpret: bool | None = None):
-    """TraceAO.rgen semantics: primary hit + `ao_rays` cosine-hemisphere
-    occlusion rays with limited tMax. primary_impl="binned" routes the
-    primary segment through the screen-tile cast (ops.tri_binning)."""
+    """TraceAO.rgen semantics: primary hit + `ao_rays` occlusion rays,
+    UNIFORM over the normal's hemisphere with limited tMax (the reference
+    flips a uniform unit-sphere sample into the hemisphere,
+    TraceAO.rgen:66-70 — deliberately not cosine-weighted).
+    primary_impl="binned" routes the primary segment through the
+    screen-tile cast (ops.tri_binning)."""
     H, W = camera.height, camera.width
     key = jax.random.PRNGKey(seed)
     orig, dirn = generate_camera_rays(key, camera, cfg)

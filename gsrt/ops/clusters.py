@@ -118,12 +118,18 @@ def traverse_clusters(clusters: Clusters, orig, dirn, t_min, carry0,
     inv_d = safe_inv_dir(dirn)
     sup = clusters.sup
     ms = clusters.sup_min.shape[0]
+    # fully-padded clusters have (min=+inf, max=-inf) AABBs, which the
+    # slab test always PASSES (t_near=-inf <= t_far=+inf) — mask them or
+    # every bundle "visits" the padding and the work counters lie
+    cl_nonempty = clusters.valid.any(axis=1)                 # [M]
+    sup_nonempty = cl_nonempty.reshape(ms, sup).any(axis=1)  # [MS]
 
     def sup_body(carry_stats, s):
         carry, aabb_n, leaf_n = carry_stats
         t_hi = t_hi_fn(carry)
         hit_s = ray_aabb_hit(orig, inv_d, clusters.sup_min[s],
                              clusters.sup_max[s], t_min, t_hi)
+        hit_s = hit_s & sup_nonempty[s]
         aabb_n = aabb_n + orig.shape[0]
 
         def do_group(args):
@@ -135,6 +141,7 @@ def traverse_clusters(clusters: Clusters, orig, dirn, t_min, carry0,
                 t_hi = t_hi_fn(carry)
                 hit_c = ray_aabb_hit(orig, inv_d, clusters.cl_min[c],
                                      clusters.cl_max[c], t_min, t_hi)
+                hit_c = hit_c & cl_nonempty[c]
                 aabb_n = aabb_n + orig.shape[0]
 
                 def do_cluster(args):
@@ -224,6 +231,10 @@ def closest_hit_tri_clusters(tc: TriClusters, orig, dirn, t_min, t_max):
     carry0 = (jnp.full((R,), jnp.inf),
               jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32))
     (best_t, best_c, best_k), aabb_n, leaf_n = traverse_clusters(
-        cl, orig, dirn, tmin_row, carry0, cluster_fn, lambda c: c[0])
+        cl, orig, dirn, tmin_row, carry0, cluster_fn,
+        # bound AABB culling by the caller's t_max too: range-limited
+        # bundles (AO radius, shadow distance) must not traverse the
+        # whole scene while still hitless
+        lambda c: jnp.minimum(c[0], tmax_row))
     hit = jnp.isfinite(best_t) & (best_t < tmax_row)
     return best_t, best_c, best_k, hit, aabb_n, leaf_n

@@ -23,12 +23,18 @@ def ray_sphere(orig, dirn, centers, radii, t_min, t_max):
     |o + t·d − c|² = r², keeps the nearest root inside (t_min, t_max).
     """
     oc = orig[:, None, :] - centers[None, :, :]          # [R,P,3]
+    # general quadratic a·t² + 2b·t + c with a = |d|² (Procedural.rint:25-33)
+    # — bounce directions are UNNORMALIZED (normal + unit-sphere sample,
+    # Scatter.glsl:20), so assuming a = 1 solves the wrong equation for
+    # every secondary ray
+    a = jnp.sum(dirn * dirn, axis=-1)[:, None]           # [R,1]
     b = jnp.sum(oc * dirn[:, None, :], axis=-1)          # [R,P]
     c = jnp.sum(oc * oc, axis=-1) - (radii ** 2)[None, :]
-    disc = b * b - c                                     # a=1 (unit dirs)
+    disc = b * b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = -b - sq
-    t1 = -b + sq
+    a_safe = jnp.maximum(a, 1e-12)
+    t0 = (-b - sq) / a_safe
+    t1 = (-b + sq) / a_safe
     t = jnp.where((t0 > t_min) & (t0 < t_max), t0,
                   jnp.where((t1 > t_min) & (t1 < t_max), t1, INF))
     return jnp.where(disc > 0, t, INF)

@@ -198,6 +198,11 @@ def blend_tiles(
     skip_range_check: bool = False, use_exp_lut: bool = False,
 ):
     """Run the tile blend. Returns (color [H,W,3], trans [H,W]) cropped to
+    NOTE: `chunk` must not exceed the chunk the binning was BUILT with —
+    the payload's over-fetch tail is build-chunk + 128 columns, and a
+    larger kernel window would DMA past the array (render_tiled keeps the
+    two equal by construction).
+
     the true image size."""
     assert chunk % 128 == 0, "pair chunk must be a multiple of 128 lanes"
     ntx, nty = tile_extent(width, height, TILE_W, TILE_H)

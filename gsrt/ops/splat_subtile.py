@@ -217,6 +217,11 @@ def blend_subtiles(
     skip_range_check: bool = False, use_exp_lut: bool = False,
 ):
     """Run the subtile blend. `binning` must have been built with
+    NOTE: `chunk` must not exceed the chunk the binning was BUILT with —
+    the payload's over-fetch tail is build-chunk + 128 columns, and a
+    larger kernel window would DMA past the array (render_tiled keeps the
+    two equal by construction).
+
     tile_w=sub_w, tile_h=sub_h. Returns (color [H,W,3], trans [H,W])."""
     assert chunk % 128 == 0, "pair chunk must be a multiple of 128 lanes"
     win = sub_w * sub_h
