@@ -69,7 +69,8 @@ def cmd_render(args) -> int:
         print(f"unknown gaussian scene {args.scene!r}", file=sys.stderr)
         return 2
 
-    rt = GaussianRayTracer(cfg, mode=args.mode)
+    rt = GaussianRayTracer(cfg, mode=args.mode,
+                           interpret=jax.default_backend() != "tpu")
     out = rt(cloud, camera)
     np.asarray(out.trans)  # sync
     t0 = time.perf_counter()
@@ -91,6 +92,8 @@ def cmd_render(args) -> int:
                          samples=args.samples, n_splats=cloud.n)
         st.from_output(out, hits_granularity=(
             "tile-pairs" if args.mode == "tiled" else "pixel")).finish(dt)
+        if out.overflow is not None:
+            st.overflow = bool(out.overflow)
         print(st.to_json())
     else:
         print(f"{dt * 1e3:.1f} ms  "
@@ -143,8 +146,13 @@ def cmd_pt(args) -> int:
     pk = {}
     if getattr(args, "primary", "block") == "binned" and \
             int(scene.tri_v0.shape[0]) > 0 and \
-            scene.alpha_textures is None and extra["aperture"] == 0.0:
+            scene.alpha_textures is None and \
+            (extra["aperture"] == 0.0 or args.shader_type != "path"):
         pk = dict(primary_impl="binned")
+    elif getattr(args, "primary", "block") == "binned":
+        print("note: binned primary unavailable for this scene "
+              "(no triangles, alpha cutouts, or aperture > 0) — "
+              "using the block path", file=sys.stderr)
     t0 = time.perf_counter()
     if args.shader_type == "path":
         img = render_path_traced(scene, camera, cfg,
@@ -254,9 +262,13 @@ def cmd_bench(args) -> int:
             need = count_tri_pairs_numpy(
                 scene.tri_v0, scene.tri_v1, scene.tri_v2, camera,
                 tile_w=cfg.tile_w, tile_h=cfg.tile_h, span_exact=exact)
+            want = pair_bucket(int(need * 1.1))
+            if want > args.tri_max_pairs:
+                print(f"warning: {sname} needs ~{need} tri pairs but "
+                      f"--tri-max-pairs caps at {args.tri_max_pairs}; "
+                      "the binned cast will truncate", file=sys.stderr)
             pk = dict(primary_impl="binned", tri_span_exact=exact,
-                      tri_max_pairs=min(pair_bucket(int(need * 1.1)),
-                                        args.tri_max_pairs))
+                      tri_max_pairs=min(want, args.tri_max_pairs))
             # candidate-work metric for the binned path: avg (tile, tri)
             # pairs per pixel — the rasterizer-side rt_avg_nodes_per_ray
             stats["binned_pairs"] = int(need)
@@ -264,8 +276,10 @@ def cmd_bench(args) -> int:
                 need / (args.width * args.height), 2)
         for wname, fn in [
             ("PT", lambda: render_path_traced(scene, camera, cfg, **pk)),
-            ("SH", lambda: render_shadow_rays(scene, camera, cfg,
-                                              light_pos=(0, 5, 2), **pk)),
+            ("SH", lambda: render_shadow_rays(
+                scene, camera, cfg,
+                light_pos=(278, 554, -279) if sname == "cornell"
+                else (0, 5, 2), **pk)),
             ("AO", lambda: render_ambient_occlusion(scene, camera, cfg,
                                                     **pk)),
         ]:
@@ -323,6 +337,9 @@ def cmd_orbit(args) -> int:
         radius = args.radius or float(np.linalg.norm(
             np.asarray(cam0.position) - center))
 
+    if args.frames < 1:
+        print("--frames must be >= 1", file=sys.stderr)
+        return 2
     cams = orbit_path(center, radius, args.frames, height=args.elev,
                       fov_y_deg=args.fov, width=args.width,
                       height_px=args.height, degrees=args.degrees)
@@ -525,7 +542,8 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--scene", type=str, default="random1000000")
     p.add_argument("--ply", type=str, default=None)
-    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--frames", type=int, default=24,
+                   help="number of path frames (>= 1)")
     p.add_argument("--degrees", type=float, default=90.0)
     p.add_argument("--radius", type=float, default=None)
     p.add_argument("--elev", type=float, default=0.0)

@@ -28,8 +28,12 @@ def orbit_path(target, radius: float, n_frames: int, *,
     (mouse-drag yaw) swept uniformly over `degrees`."""
     target = np.asarray(target, np.float64)
     cams = []
+    # full 360 loops space frames EXCLUSIVE of the endpoint (frame 0 and
+    # frame n would coincide); partial arcs must REACH the end angle
+    full_loop = abs(abs(degrees) - 360.0) < 1e-9
+    denom = n_frames if full_loop else max(n_frames - 1, 1)
     for i in range(n_frames):
-        a = math.radians(start_deg + degrees * i / max(n_frames, 1))
+        a = math.radians(start_deg + degrees * i / max(denom, 1))
         eye = target + np.array([radius * math.cos(a), height,
                                  radius * math.sin(a)])
         cams.append(make_camera(look_at(eye, target, up), fov_y_deg,
@@ -53,11 +57,14 @@ def dolly_path(eye_from, eye_to, target, n_frames: int, *,
     return cams
 
 
-def interpolate_path(keyframes: Sequence[Camera], frames_per_seg: int
-                     ) -> list[Camera]:
+def interpolate_path(keyframes: Sequence[Camera], frames_per_seg: int,
+                     up=(0.0, 1.0, 0.0)) -> list[Camera]:
     """Piecewise-linear interpolation of eye positions between keyframe
     cameras (orientation re-derived by looking at the blended forward
-    target). Keyframes must share intrinsics."""
+    target). Keyframes must share intrinsics, and `up` should match the
+    up vector the keyframes were built with — intermediate frames derive
+    roll from it, so a mismatch snaps orientation at the appended final
+    keyframe."""
     if len(keyframes) < 2:
         return list(keyframes)
     k0 = keyframes[0]
@@ -75,7 +82,7 @@ def interpolate_path(keyframes: Sequence[Camera], frames_per_seg: int
             fwd = fa * (1 - s) + fb * s
             n = np.linalg.norm(fwd)
             fwd = fwd / (n if n > 1e-9 else 1.0)
-            cams.append(make_camera(look_at(eye, eye + fwd), fov,
+            cams.append(make_camera(look_at(eye, eye + fwd, up), fov,
                                     k0.width, k0.height))
     cams.append(keyframes[-1])
     return cams

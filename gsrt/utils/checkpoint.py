@@ -18,6 +18,12 @@ import numpy as np
 from gsrt.core.types import GaussianCloud
 
 
+def _npz(path: str) -> str:
+    """np.savez appends '.npz' when missing but np.load does not — keep
+    the round trip symmetric."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_scene(path: str, cloud: GaussianCloud, bvh=None) -> None:
     arrays = {f"cloud_{k}": np.asarray(v)
               for k, v in cloud._asdict().items()}
@@ -28,12 +34,9 @@ def save_scene(path: str, cloud: GaussianCloud, bvh=None) -> None:
 
 
 def load_scene(path: str):
-    data = np.load(path)
-    cloud = GaussianCloud(
-        means=jnp.asarray(data["cloud_means"]),
-        cov3d=jnp.asarray(data["cloud_cov3d"]),
-        opacity=jnp.asarray(data["cloud_opacity"]),
-        sh=jnp.asarray(data["cloud_sh"]))
+    data = np.load(_npz(path))
+    cloud = GaussianCloud(**{k: jnp.asarray(data[f"cloud_{k}"])
+                             for k in GaussianCloud._fields})
     bvh = None
     if "bvh_left" in data:
         from gsrt.ops.bvh import LBVH
@@ -51,7 +54,7 @@ def save_training(path: str, params, opt_state, step: int) -> None:
 
 
 def load_training(path: str, params_like, opt_state_like):
-    data = np.load(path)
+    data = np.load(_npz(path))
     leaves, treedef = jax.tree_util.tree_flatten(
         (params_like, opt_state_like))
     restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
