@@ -41,7 +41,6 @@ from gsrt.ops.gaussian import (
 from gsrt.ops.kbuffer import (
     advance_depth_front,
     composite_color,
-    topk_nearest,
 )
 from gsrt.ops.sh import eval_sh
 
@@ -131,7 +130,12 @@ def _chunk_alphas(pix, mean2d_c, quad_c, depth_c, opacity_c, in_front_c,
     alpha = opacity_c[None, :] * power
     if cfg.conic_mode == "standard":
         alpha = jnp.minimum(alpha, 0.99)
-    accept = in_range & (alpha > cfg.alpha_threshold) & in_front_c[None, :]
+    # the rgen ray window (tMin/tMax, rgen:50-51) and the k-buffer's
+    # init_depth far sentinel: splats outside never composite
+    in_window = ((depth_c > cfg.t_min)
+                 & (depth_c < min(cfg.t_max, cfg.init_depth)))[None, :]
+    accept = (in_range & (alpha > cfg.alpha_threshold)
+              & in_front_c[None, :] & in_window)
     return jnp.where(accept, alpha, 0.0), accept
 
 
@@ -390,7 +394,9 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     rx, ry = screen_extents_abc(qa, qb, qc, cfg.conic_mode, cfg.g_cutoff,
                                 opacity=fm.opacity,
                                 alpha_threshold=cfg.alpha_threshold)
-    alive = in_front & (fm.opacity > cfg.alpha_threshold)
+    alive = (in_front & (fm.opacity > cfg.alpha_threshold)
+             & (depth > cfg.t_min)
+             & (depth < min(cfg.t_max, cfg.init_depth)))
 
     tw, th = cfg.tile_w, cfg.tile_h
 

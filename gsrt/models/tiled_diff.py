@@ -171,7 +171,9 @@ def render_tiled_diff(cloud, camera: Camera, cfg: RenderConfig,
     rx, ry = screen_extents_abc(sg(qa), sg(qb), sg(qc), cfg.conic_mode,
                                 cfg.g_cutoff, opacity=sg(fm.opacity),
                                 alpha_threshold=cfg.alpha_threshold)
-    alive = in_front & (fm.opacity > cfg.alpha_threshold)
+    alive = (in_front & (fm.opacity > cfg.alpha_threshold)
+             & (depth > cfg.t_min)
+             & (depth < min(cfg.t_max, cfg.init_depth)))
     core = tiled_blend_diff(cfg, camera, max_pairs, sg(depth), rx, ry,
                             sg(alive), interpret=interpret)
     color, trans = core(m2x, m2y, qa, qb, qc, fm.opacity, cr, cg, cb)

@@ -20,7 +20,6 @@ Everything is batched over N splats; no per-splat control flow.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from gsrt.core.types import Camera
@@ -210,8 +209,12 @@ def project_gaussians_fm(
 
     if conic_mode == "standard":
         in_front = in_front & (det > 1e-12)
-        d = jnp.maximum(det, 1e-12)
-        qa, qb, qc = c / d, -b / d, a / d
+        # zero degenerate lanes like project_gaussians (not c/1e-12-scale
+        # garbage): consumers treating the two projections as
+        # interchangeable must not need an extra mask
+        inv_det = jnp.where(det > 1e-12, 1.0 / jnp.maximum(det, 1e-12),
+                            0.0)
+        qa, qb, qc = c * inv_det, -b * inv_det, a * inv_det
     else:
         qa, qb, qc = a, b, c
     return depth, m2x, m2y, qa, qb, qc, det, in_front
@@ -221,7 +224,12 @@ def screen_extents_abc(a, b, c, conic_mode: str, g_cutoff: float,
                        opacity: jnp.ndarray | None = None,
                        alpha_threshold: float = 1.0 / 255.0,
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """`screen_extents` on separate quadratic-form columns (a, b, c)."""
+    """`screen_extents` on separate quadratic-form columns (a, b, c).
+
+    `conic_mode` is accepted for signature parity but the AABB formula is
+    mode-invariant: it reads the quadratic form the caller already built
+    (conic in standard mode, raw covariance in reference mode) — the
+    mode only changed WHICH (a, b, c) arrive here."""
     det = jnp.maximum(a * c - b * b, 1e-18)
     g = jnp.asarray(g_cutoff, a.dtype)
     if opacity is not None:
@@ -263,7 +271,7 @@ def eval_gaussian_response(
     return 0.5 * (a * dx * dx + 2.0 * b * dx * dy + c * dy * dy)
 
 
-def invert_cov3d(cov3d: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+def invert_cov3d(cov3d: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
     """[...,6] upper-tri Σ → [...,6] upper-tri Σ⁻¹ (closed-form adjugate)."""
     a, b, c, d, e, f = (cov3d[..., i] for i in range(6))
     # | a b c |
@@ -311,11 +319,3 @@ def ray_gaussian_response(orig, dirn, means, cov3d_inv):
     return t_star, 0.5 * jnp.maximum(q_min, 0.0)
 
 
-def splat_alpha(g, opacity, g_cutoff, alpha_threshold, exp_fn):
-    """alpha = opacity·exp(−g) with the reference's gates:
-    g ∈ [0, g_cutoff] (rint:103) and alpha > 1/255 (rint:107).
-    Returns (alpha, accept_mask)."""
-    in_range = (g >= 0.0) & (g <= g_cutoff)
-    alpha = opacity * exp_fn(jnp.where(in_range, g, 0.0))
-    accept = in_range & (alpha > alpha_threshold)
-    return jnp.where(accept, alpha, 0.0), accept

@@ -29,6 +29,12 @@ def topk_nearest(depth, alpha, valid, k: int, init_depth: float = 1e4):
     invalid slots carry depth=init_depth, alpha=0.
     """
     big = jnp.asarray(init_depth, depth.dtype)
+    # hits at depth >= init_depth are indistinguishable from the empty-slot
+    # sentinel (their alpha would be zeroed below while count still counted
+    # them — a livelock for multi-pass callers): treat them as invalid,
+    # i.e. init_depth doubles as the far clip, which is the reference's
+    # own convention (tMax = 1e4 = slot init, rgen:50 / Scene.cpp:44)
+    valid = valid & (depth < big)
     d = jnp.where(valid, depth, big)
     m = d.shape[-1]
     if m < k:  # lax.top_k needs k ≤ axis size; pad with empty slots

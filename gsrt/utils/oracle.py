@@ -19,10 +19,14 @@ def exp_lut_np(segments: int = 256, x_max: float = 8.0) -> np.ndarray:
     return np.stack([-np.exp(-x0), np.exp(-x0)], axis=-1).astype(np.float32)
 
 
-def linear_exp_np(x: float, lut: np.ndarray) -> float:
-    tx = np.float32(x) * np.float32(32.0)
+def linear_exp_np(x: float, lut: np.ndarray, x_max: float = 8.0) -> float:
+    # derive the quantization scale from the lut itself so non-default
+    # segment counts / ranges stay consistent (ExpLUT.hpp uses 256 on
+    # [0, 8] -> scale 32)
+    scale = np.float32(lut.shape[0] / x_max)
+    tx = np.float32(x) * scale
     qx = min(max(int(tx), 0), lut.shape[0] - 1)
-    dx = np.float32(x) - np.float32(qx) / np.float32(32.0)
+    dx = np.float32(x) - np.float32(qx) / scale
     return np.float32(lut[qx, 0] * dx + lut[qx, 1])
 
 
@@ -78,7 +82,7 @@ def render_reference_oracle(
     means, cov3d, opacity, view, fx, fy, cx, cy, width, height,
     k=8, max_passes=64, g_cutoff=5.6, alpha_threshold=1.0 / 255.0,
     use_exp_lut=True, conic_mode="reference", dilation=0.0,
-    sh_dc=None, camera_pos=None,
+    sh_dc=None, camera_pos=None, t_min=1e-3, t_max=1e4,
 ):
     """Per-pixel multi-pass k-buffer render.
 
@@ -114,6 +118,8 @@ def render_reference_oracle(
                     depth, (px, py), (a, b, c) = proj[i]
                     if depth <= front:
                         continue  # rint:69-71 depth-front cull
+                    if depth <= t_min or depth >= t_max:
+                        continue  # rgen tMin/tMax ray window (rgen:50-51)
                     dx = np.float32(xx) - px
                     dy = np.float32(yy) - py
                     g = np.float32(0.5) * (a * dx * dx + 2 * b * dx * dy + c * dy * dy)
@@ -121,6 +127,10 @@ def render_reference_oracle(
                         continue  # rint:103
                     power = linear_exp_np(g, lut) if use_exp_lut else np.exp(-g)
                     alpha = np.float32(opacity[i] * power)
+                    if conic_mode == "standard":
+                        # every JAX standard-mode path clamps at 0.99
+                        # (gaussian_rt._chunk_alphas, the Pallas kernels)
+                        alpha = min(alpha, np.float32(0.99))
                     if alpha > alpha_threshold:  # rint:107
                         cand.append((np.float32(depth), alpha, i))
                 if not cand:
