@@ -173,24 +173,40 @@ def mandelbulb_de(p: jnp.ndarray, power: float = 8.0,
 def ray_mandelbulb(orig, dirn, centers, radii, t_min, t_max,
                    steps: int = 96):
     """Sphere-bounded DE ray march (ProceduralMandelbulb.rint:146-166).
-    [R,3] rays × [P] bulbs → t [R,P] (inf on miss)."""
-    t_sph = ray_sphere(orig, dirn, centers, radii, t_min, t_max)  # entry
-    # exit distance of the bounding sphere
+    [R,3] rays × [P] bulbs → t [R,P] (inf on miss).
+
+    The march is done on the NORMALIZED ray (DE returns world distances,
+    so stepping the raw parameter by DE over-advances by |d|; the entry/
+    exit quadratic likewise needs a = |d|²) and converted back to the
+    caller's parameter units at the end. Origins INSIDE the bounding
+    sphere start marching at t_min rather than at the sphere's exit —
+    otherwise the bulb never self-shadows or appears in reflections from
+    nearby geometry."""
+    dmag = jnp.sqrt(jnp.sum(dirn * dirn, -1, keepdims=True))     # [R,1]
+    dmag = jnp.maximum(dmag, 1e-12)
+    dn = dirn / dmag
     oc = orig[:, None, :] - centers[None, :, :]
-    b = jnp.sum(oc * dirn[:, None, :], -1)
+    b = jnp.sum(oc * dn[:, None, :], -1)                         # [R,P]
     c = jnp.sum(oc * oc, -1) - (radii ** 2)[None, :]
-    disc = jnp.maximum(b * b - c, 0.0)
-    t_exit = -b + jnp.sqrt(disc)
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_entry = -b - sq
+    t_exit = -b + sq
+    tmin_w = t_min * dmag                                        # [R,1]
+    tmax_w = t_max * dmag
+    inside = c < 0
+    start = jnp.maximum(jnp.where(inside, tmin_w, t_entry), tmin_w)
+    valid = (disc > 0) & (t_exit > tmin_w) & (start < tmax_w)
 
     def body(_, t):
-        pt = orig[:, None, :] + t[..., None] * dirn[:, None, :]
+        pt = orig[:, None, :] + t[..., None] * dn[:, None, :]
         d = mandelbulb_de(pt - centers[None, :, :])
         return jnp.where(t <= t_exit, t + d, t)
 
-    t = jax.lax.fori_loop(0, steps, body, jnp.where(jnp.isfinite(t_sph),
-                                                    t_sph, t_exit + 1.0))
-    hit = (t <= t_exit) & jnp.isfinite(t_sph)
-    return jnp.where(hit, t, INF)
+    t = jax.lax.fori_loop(0, steps, body,
+                          jnp.where(valid, start, t_exit + 1.0))
+    hit = (t <= t_exit) & valid & (t < tmax_w)
+    return jnp.where(hit, t / dmag, INF)
 
 
 def mandelbulb_normal(p, eps: float = 1e-3):

@@ -68,13 +68,16 @@ def _box_to_triangles(corners: np.ndarray, mats: np.ndarray):
 def instantiate_scene(scene: PrimitiveScene,
                       transforms: Sequence[np.ndarray]) -> PrimitiveScene:
     """Replicate every primitive of `scene` once per transform."""
-    outs = {}
+    has_uv = scene.tri_uv0 is not None
     sph_c, sph_r, sph_m = [], [], []
     box_lo, box_hi, box_m = [], [], []
     t0s, t1s, t2s, tms = [], [], [], []
+    uv0s, uv1s, uv2s = [], [], []
     for T in transforms:
         T = np.asarray(T, np.float32)
-        uniform_scale = float(np.cbrt(max(np.linalg.det(T[:, :3]), 1e-12)))
+        # |det|: reflections (det < 0) preserve sizes; non-uniform scale is
+        # approximated by the geometric mean (spheres stay spheres)
+        uniform_scale = float(np.cbrt(abs(np.linalg.det(T[:, :3]))))
         if scene.sph_center.shape[0]:
             sph_c.append(_apply(T, np.asarray(scene.sph_center)))
             sph_r.append(np.asarray(scene.sph_radius) * uniform_scale)
@@ -105,47 +108,56 @@ def instantiate_scene(scene: PrimitiveScene,
                 t1s.append(v1)
                 t2s.append(v2)
                 tms.append(vm)
+                if has_uv:   # keep uv arrays aligned with the tri soup
+                    z = np.zeros((v0.shape[0], 2), np.float32)
+                    uv0s.append(z)
+                    uv1s.append(z)
+                    uv2s.append(z)
         if scene.tri_v0.shape[0]:
             t0s.append(_apply(T, np.asarray(scene.tri_v0)))
             t1s.append(_apply(T, np.asarray(scene.tri_v1)))
             t2s.append(_apply(T, np.asarray(scene.tri_v2)))
             tms.append(np.asarray(scene.tri_mat))
+            if has_uv:
+                uv0s.append(np.asarray(scene.tri_uv0))
+                uv1s.append(np.asarray(scene.tri_uv1))
+                uv2s.append(np.asarray(scene.tri_uv2))
 
-    def cat(parts, empty_shape):
+    def cat(parts, empty_shape, dtype=jnp.float32):
         if not parts:
-            return jnp.zeros(empty_shape,
-                             jnp.int32 if len(empty_shape) == 1 else
-                             jnp.float32)
+            return jnp.zeros(empty_shape, dtype)
         return jnp.asarray(np.concatenate(parts, 0))
 
     return PrimitiveScene(
         sph_center=cat(sph_c, (0, 3)), sph_radius=cat(sph_r, (0,)),
-        sph_mat=cat(sph_m, (0,)).astype(jnp.int32),
+        sph_mat=cat(sph_m, (0,), jnp.int32).astype(jnp.int32),
         box_min=cat(box_lo, (0, 3)), box_max=cat(box_hi, (0, 3)),
-        box_mat=cat(box_m, (0,)).astype(jnp.int32),
+        box_mat=cat(box_m, (0,), jnp.int32).astype(jnp.int32),
         tri_v0=cat(t0s, (0, 3)), tri_v1=cat(t1s, (0, 3)),
         tri_v2=cat(t2s, (0, 3)),
-        tri_mat=cat(tms, (0,)).astype(jnp.int32),
+        tri_mat=cat(tms, (0,), jnp.int32).astype(jnp.int32),
         materials=scene.materials, textures=scene.textures,
-        alpha_textures=scene.alpha_textures)
+        alpha_textures=scene.alpha_textures,
+        tri_uv0=cat(uv0s, (0, 2)) if has_uv else None,
+        tri_uv1=cat(uv1s, (0, 2)) if has_uv else None,
+        tri_uv2=cat(uv2s, (0, 2)) if has_uv else None)
 
 
 def instantiate_cloud(cloud: GaussianCloud,
                       transforms: Sequence[np.ndarray]) -> GaussianCloud:
-    """Replicate a Gaussian cloud under rigid(+uniform scale) transforms:
-    means are transformed; Σ ← R Σ Rᵀ · s²."""
+    """Replicate a Gaussian cloud under affine transforms: means are
+    transformed; Σ ← A Σ Aᵀ (exact for ANY linear part A — rotation,
+    uniform or non-uniform scale, reflection)."""
+    c = np.asarray(cloud.cov3d)
+    sig0 = np.zeros((c.shape[0], 3, 3), np.float32)
+    sig0[:, 0, 0], sig0[:, 0, 1], sig0[:, 0, 2] = c[:, 0], c[:, 1], c[:, 2]
+    sig0[:, 1, 0], sig0[:, 1, 1], sig0[:, 1, 2] = c[:, 1], c[:, 3], c[:, 4]
+    sig0[:, 2, 0], sig0[:, 2, 1], sig0[:, 2, 2] = c[:, 2], c[:, 4], c[:, 5]
     means, covs, ops, shs = [], [], [], []
     for T in transforms:
         T = np.asarray(T, np.float32)
-        R = T[:, :3]
-        s2 = float(np.cbrt(max(np.linalg.det(R), 1e-12))) ** 2
-        Rn = R / np.sqrt(s2) if s2 > 0 else R
-        c = np.asarray(cloud.cov3d)
-        sig = np.zeros((c.shape[0], 3, 3), np.float32)
-        sig[:, 0, 0], sig[:, 0, 1], sig[:, 0, 2] = c[:, 0], c[:, 1], c[:, 2]
-        sig[:, 1, 0], sig[:, 1, 1], sig[:, 1, 2] = c[:, 1], c[:, 3], c[:, 4]
-        sig[:, 2, 0], sig[:, 2, 1], sig[:, 2, 2] = c[:, 2], c[:, 4], c[:, 5]
-        sig = np.einsum("ij,njk,lk->nil", Rn, sig, Rn) * s2
+        A = T[:, :3]
+        sig = np.einsum("ij,njk,lk->nil", A, sig0, A)
         covs.append(np.stack([sig[:, 0, 0], sig[:, 0, 1], sig[:, 0, 2],
                               sig[:, 1, 1], sig[:, 1, 2], sig[:, 2, 2]], -1))
         means.append(_apply(T, np.asarray(cloud.means)))

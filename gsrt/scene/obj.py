@@ -278,7 +278,10 @@ def load_obj_dir(path: str, transform: Optional[np.ndarray] = None,
     reference's directory-scene factories (SceneList.cpp:626-738).
 
     overrides: [(filename glob, (model, kd, fuzz, ni))] applied per file
-    (SetAllMaterial analogue, e.g. TreesAndGrass foliage rules).
+    (SetAllMaterial analogue, e.g. TreesAndGrass foliage rules); a rule
+    value of None SKIPS the file entirely (the reference's `continue`
+    exclusions, e.g. blender_2_80's Dirt_grass*). First matching rule
+    wins, so order follows the reference's if/else chains.
     """
     files = sorted(f for f in os.listdir(path) if f.endswith(".obj"))
     if max_files is not None:
@@ -289,10 +292,16 @@ def load_obj_dir(path: str, transform: Optional[np.ndarray] = None,
     parts = []
     for fn in files:
         ov = None
+        skip = False
         for pat, mat in overrides:
             if fnmatch.fnmatch(fn, pat) or pat in fn:
-                ov = mat
+                if mat is None:
+                    skip = True
+                else:
+                    ov = mat
                 break
+        if skip:
+            continue
         parts.append(_parse_obj(os.path.join(path, fn), atlas, mat_rows,
                                 tex_ids, mat_override=ov))
     return _assemble(parts, mat_rows, tex_ids, atlas, transform)

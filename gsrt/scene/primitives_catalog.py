@@ -7,7 +7,7 @@ Re-derives (not ports) the reference's scene constructions:
     camera lookAt(13,2,3 → 0,0,0), fov 20.
   * CornellBox — SceneList.cpp:281-308 + Assets/CornellBox.cpp: 555-scale
     box (green left / red right / white floor, ceiling, back), area light at
-    the ceiling (x∈[213,343], z∈[-332,-227], emission 15), two rotated
+    the ceiling (x∈[213,343], z∈[-328,-223], emission 15), two rotated
     boxes; camera lookAt(278,278,800 → 278,278,0), fov 40, no sky.
   * CubeAndSpheres — SceneList.cpp:130-155 (three spheres; the OBJ cube is
     added when an OBJ path is supplied).
@@ -186,27 +186,60 @@ def _procedural_earth(th=128, tw=256):
 
 
 def planets_in_one_weekend(width=640, height=480, seed=42):
-    """PlanetsInOneWeekend (SceneList.cpp:186+): the RTIOW layout with
-    textured hero spheres."""
+    """PlanetsInOneWeekend (SceneList.cpp:186-218): the RTIOW common grid
+    (same 22x22 layout and 0.8/0.15/0.05 material mix) with textured hero
+    spheres — Metallic(white, fuzz 0.1, earth) at (0,1,0),
+    Lambertian(mars) at (-4,1,0), Metallic(white, fuzz 0, moon) at
+    (4,1,0). The reference's mars/moon/earth JPG/PNG assets are stood in
+    by procedural lat-long textures (no bundled binaries)."""
     rng = np.random.default_rng(seed)
     b = _SceneBuilder()
-    tex = b.texture(_procedural_earth())
+    tex_earth = b.texture(_procedural_earth())
+    tex_mars = b.texture(_procedural_planet((0.55, 0.25, 0.12),
+                                            (0.35, 0.15, 0.08)))
+    tex_moon = b.texture(_procedural_planet((0.65, 0.65, 0.62),
+                                            (0.42, 0.42, 0.40)))
     b.sphere((0, -1000, 0), 1000.0, b.lambertian((0.5, 0.5, 0.5)))
-    for i in range(-11, 11, 2):
-        for j in range(-11, 11, 2):
-            center = np.array([i + 0.9 * rng.random(), 0.2,
-                               j + 0.9 * rng.random()])
+    for i in range(-11, 11):
+        for j in range(-11, 11):
+            choose = rng.random()
+            cy = j + 0.9 * rng.random()
+            cx = i + 0.9 * rng.random()
+            center = np.array([cx, 0.2, cy])
             if np.linalg.norm(center - np.array([4, 0.2, 0])) > 0.9:
-                b.sphere(center, 0.2,
-                         b.material(Materials.LAMBERTIAN,
-                                    (1.0, 1.0, 1.0), tex_id=tex))
-    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
+                if choose < 0.8:
+                    rgb = rng.random(3) * rng.random(3)
+                    b.sphere(center, 0.2, b.lambertian(rgb))
+                elif choose < 0.95:
+                    fuzz = 0.5 * rng.random()
+                    rgb = 0.5 * (1 + rng.random(3))
+                    b.sphere(center, 0.2, b.metallic(rgb, fuzz))
+                else:
+                    b.sphere(center, 0.2, b.dielectric(1.5))
+    b.sphere((0, 1, 0), 1.0,
+             b.material(Materials.METALLIC, (1, 1, 1), fuzz=0.1,
+                        tex_id=tex_earth))
     b.sphere((-4, 1, 0), 1.0,
-             b.material(Materials.LAMBERTIAN, (1, 1, 1), tex_id=tex))
-    b.sphere((4, 1, 0), 1.0, b.metallic((0.7, 0.6, 0.5), 0.0))
+             b.material(Materials.LAMBERTIAN, (1, 1, 1), tex_id=tex_mars))
+    b.sphere((4, 1, 0), 1.0,
+             b.material(Materials.METALLIC, (1, 1, 1), fuzz=0.0,
+                        tex_id=tex_moon))
     camera = make_camera(look_at((13, 2, 3), (0, 0, 0)), 20.0, width, height)
     return b.build(), camera, dict(aperture=0.1, focus=10.0, has_sky=True,
                                    gamma=True)
+
+
+def _procedural_planet(hi_rgb, lo_rgb, th=128, tw=256):
+    """Two-tone banded lat-long texture (mars/moon stand-ins)."""
+    v, u = np.mgrid[0:th, 0:tw].astype(np.float32)
+    u /= tw
+    v /= th
+    bands = (np.sin(u * 18.8 + np.sin(v * 11.0) * 1.5)
+             + 0.5 * np.sin(u * 47.1 - v * 23.0))
+    dark = bands < 0.2
+    img = np.where(dark[..., None], np.asarray(lo_rgb, np.float32),
+                   np.asarray(hi_rgb, np.float32))
+    return img.astype(np.float32)
 
 
 def cube_and_spheres(width=256, height=256):

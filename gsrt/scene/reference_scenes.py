@@ -94,6 +94,7 @@ def _dir_scene(dirname, fov, fallback_cam, width, height,
 
 _LAMB = Materials.LAMBERTIAN
 _METAL = Materials.METALLIC
+_LIGHT = Materials.DIFFUSE_LIGHT
 
 
 def trees_and_grass(width=128, height=128, max_files=None):
@@ -132,10 +133,23 @@ def blender_2_78(width=128, height=128, max_files=None):
 
 
 def blender_2_80(width=128, height=128, max_files=None):
-    """SPRNG — Spring splash scene (981 OBJs)."""
+    """SPRNG — Spring splash scene (981 OBJs); SetAllMaterial rules and
+    the Dirt_grass exclusion per SceneList.cpp:788-830."""
+    overrides = [
+        ("*Dirt_grass*", None),   # reference skips these files entirely
+        ("*spring_body*", (_LAMB, (223 / 256, 175 / 256, 171 / 256), 0.0, 1.0)),
+        ("*stitches*", (_LAMB, (92 / 256, 64 / 256, 51 / 256), 0.0, 1.0)),
+        ("*spring_jacket*", (_LAMB, (163 / 256, 67 / 256, 42 / 256), 0.0, 1.0)),
+        ("*spring_pants*", (_LAMB, (92 / 256, 74 / 256, 101 / 256), 0.0, 1.0)),
+        ("*spring_boots*", (_LAMB, (150 / 256, 106 / 256, 86 / 256), 0.0, 1.0)),
+        ("*spring_hairband*", (_LAMB, (69 / 256, 23 / 256, 8 / 256), 0.0, 1.0)),
+        ("*spring_hair*", (_LAMB, (108 / 256, 86 / 256, 99 / 256), 0.0, 1.0)),
+        ("*spring_scarf*", (_LAMB, (114 / 256, 76 / 256, 64 / 256), 0.0, 1.0)),
+        ("*spring_pullover*", (_LAMB, (114 / 256, 76 / 256, 64 / 256), 0.0, 1.0)),
+    ]
     return _dir_scene("Blender_2.80", 20.0,
                       ((0, 2, 10), (0, 0, 0)), width, height,
-                      max_files=max_files)
+                      overrides=overrides, max_files=max_files)
 
 
 def blender_2_83(width=128, height=128, max_files=None):
@@ -153,24 +167,64 @@ def blender_2_90(width=128, height=128, max_files=None):
 
 
 def blender_2_91(width=128, height=128, max_files=None):
-    """FRST — Red Autumn Forest."""
+    """FRST — Red Autumn Forest; SetAllMaterial rules per
+    SceneList.cpp:959-1025 (per-slot ForeGround rules approximated
+    whole-file; the reference's random bush color draw replaced by its
+    middle color — the original is non-deterministic run to run)."""
+    overrides = [
+        ("*Character2_Shirt*", (_LAMB, (156 / 256, 74 / 256, 61 / 256), 0.0, 1.0)),
+        ("*Character_Hair*", (_LAMB, (119 / 256, 74 / 256, 55 / 256), 0.0, 1.0)),
+        ("*Character_Pants*", (_LAMB, (131 / 256, 115 / 256, 160 / 256), 0.0, 1.0)),
+        ("*Character_hair_2*", (_LAMB, (121 / 256, 74 / 256, 56 / 256), 0.0, 1.0)),
+        ("*Character_watch*", (_LAMB, (163 / 256, 73 / 256, 78 / 256), 0.0, 1.0)),
+        ("*Character*", (_LAMB, (223 / 256, 187 / 256, 161 / 256), 0.0, 1.0)),
+        ("*backpackStraps*", (_LAMB, (104 / 256, 66 / 256, 64 / 256), 0.0, 1.0)),
+        ("*BackPackDec*", (_LAMB, (108 / 256, 191 / 256, 210 / 256), 0.0, 1.0)),
+        ("*BackPack*", (_LAMB, (97 / 256, 85 / 256, 85 / 256), 0.0, 1.0)),
+        ("*ForeGround_terrain*", (_LAMB, (212 / 256, 207 / 256, 207 / 256), 0.0, 1.0)),
+        ("*MidGround*", (_LAMB, (232 / 256, 189 / 256, 26 / 256), 0.0, 1.0)),
+        ("*FlowerParticles*", (_LAMB, (212 / 256, 207 / 256, 207 / 256), 0.0, 1.0)),
+        ("*Mesh*", (_LAMB, (142 / 256, 85 / 256, 47 / 256), 0.0, 1.0)),
+        ("*bush*", (_LAMB, (224 / 256, 70 / 256, 45 / 256), 0.0, 1.0)),
+    ]
     return _dir_scene("Blender_2.91", 30.0,
                       ((0, 2, 10), (0, 0, 0)), width, height,
-                      max_files=max_files)
+                      overrides=overrides, max_files=max_files)
 
 
 def blender_3_2(width=128, height=128, max_files=None):
-    """LANDS — White Lands."""
+    """LANDS — White Lands; rules per SceneList.cpp:1074-1086 (metallic
+    water, fuzz 0.6)."""
+    overrides = [
+        ("*boat*", (_LAMB, (150 / 256, 111 / 256, 51 / 256), 0.0, 1.0)),
+        ("*water*", (_METAL, (18 / 256, 109 / 256, 105 / 256), 0.6, 1.0)),
+        ("*Landscape*", (_LAMB, (250 / 256, 250 / 256, 245 / 256), 0.0, 1.0)),
+    ]
     return _dir_scene("Blender_3.2", 25.0,
                       ((0, 2, 10), (0, 0, 0)), width, height,
-                      max_files=max_files)
+                      overrides=overrides, max_files=max_files)
 
 
 def bathroom(width=128, height=128, max_files=None):
-    """BATH — SceneList.cpp:1319+ (blendswap 12584, fov 36, .camera)."""
+    """BATH — SceneList.cpp:1319-1390 (blendswap 12584, fov 36, .camera).
+    The emit_haut DiffuseLight(15) emitter and the whole-file material
+    rules are applied; the reference's PER-SLOT rules on sol.obj / prise /
+    poubelle / pese_personne / bouteille need slot-granular overrides the
+    loader doesn't model (whole-file here would mislabel e.g. the whole
+    floor as an emitter, worse than keeping the MTL materials)."""
+    overrides = [
+        ("*emit_haut*", (_LIGHT, (15.0, 15.0, 15.0), 0.0, 1.0)),
+        ("*Meuble*", (_LAMB, (196 / 256, 137 / 256, 88 / 256), 0.0, 1.0)),
+        ("*meuble*", (_LAMB, (196 / 256, 137 / 256, 88 / 256), 0.0, 1.0)),
+        ("*baignoire*", (_LAMB, (196 / 256, 137 / 256, 88 / 256), 0.0, 1.0)),
+        ("*statu*", (_LAMB, (14 / 256, 6 / 256, 3 / 256), 0.0, 1.0)),
+        ("*robinet*", (_METAL, (0.73, 0.73, 0.73), 0.0, 1.0)),
+        ("*etend_serviette*", (_METAL, (0.73, 0.73, 0.73), 0.0, 1.0)),
+    ]
     return _dir_scene("Bathroom", 36.0,
                       ((1.13, -1.3, 13.29), (-4.44, -2.71, 12.73)),
-                      width, height, max_files=max_files)
+                      width, height, overrides=overrides,
+                      max_files=max_files)
 
 
 def ship(width=128, height=128, max_files=None):
