@@ -117,7 +117,16 @@ def look_at(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
     fwd = target - eye
     fwd = fwd / np.linalg.norm(fwd)
     right = np.cross(fwd, up)
-    right = right / np.linalg.norm(right)
+    n = np.linalg.norm(right)
+    if n < 1e-8:
+        # view parallel to up (straight down/up camera): fall back to an
+        # axis not parallel to fwd instead of dividing a zero cross into
+        # an all-NaN matrix
+        alt = np.array([0.0, 0.0, 1.0]) if abs(fwd[2]) < 0.9 \
+            else np.array([1.0, 0.0, 0.0])
+        right = np.cross(fwd, alt)
+        n = np.linalg.norm(right)
+    right = right / n
     down = np.cross(fwd, right)  # y axis points down in image space
     R = np.stack([right, down, fwd], axis=0)  # rows = camera axes
     view = np.eye(4)

@@ -31,16 +31,23 @@ def build_exp_lut(segments: int = SEGMENTS, x_min: float = X_MIN,
     return jnp.asarray(np.stack([slope, bias], axis=-1), jnp.float32)
 
 
-def linear_exp(x: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+def linear_exp(x: jnp.ndarray, lut: jnp.ndarray,
+               x_max: float = X_MAX) -> jnp.ndarray:
     """Evaluate exp(-x) via the LUT, matching the shader's arithmetic:
 
-    tx = 32·x ; qx = floor(tx) ; dx = x − qx/32 ; ex = slope[qx]·dx + bias[qx]
-    """
-    tx = x * _SCALE
+    tx = scale·x ; qx = floor(tx) ; dx = x − qx/scale ;
+    ex = slope[qx]·dx + bias[qx], with scale = segments/x_max (32 for the
+    reference's 256-segment [0, 8] table, ExpLUT.hpp:10-24) derived from
+    the lut itself so non-default tables evaluate consistently (the
+    NumPy oracle twin does the same). Clamped at 0: the last segment's
+    linear extrapolation would go negative past x_max + 1/e-ish, and
+    exp(-x) must not (g_cutoff is a free config float)."""
+    scale = jnp.asarray(lut.shape[0] / x_max, x.dtype)
+    tx = x * scale
     qx = jnp.clip(tx.astype(jnp.int32), 0, lut.shape[0] - 1)
-    dx = x - qx.astype(x.dtype) / _SCALE
+    dx = x - qx.astype(x.dtype) / scale
     seg = lut[qx]  # gather [..., 2]
-    return seg[..., 0] * dx + seg[..., 1]
+    return jnp.maximum(seg[..., 0] * dx + seg[..., 1], 0.0)
 
 
 def exp_neg(x: jnp.ndarray, lut: jnp.ndarray | None = None,

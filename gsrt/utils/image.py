@@ -31,11 +31,13 @@ def dump_image_binary(path: str, img) -> None:
     """Reference-compatible dump: per pixel, RGB bytes + linear offset
     (vulkan_ray_tracing.cc image_store → image.binary)."""
     arr = to_uint8(img)
+    if arr.ndim == 2:          # grayscale, like save_png accepts
+        arr = np.repeat(arr[..., None], 3, axis=-1)
     h, w = arr.shape[:2]
     off = np.arange(h * w, dtype=np.uint32)
     rec = np.zeros(h * w, dtype=np.dtype([("r", "u1"), ("g", "u1"),
                                           ("b", "u1"), ("off", "<u4")]))
-    flat = arr.reshape(-1, arr.shape[-1])
+    flat = arr.reshape(h * w, arr.shape[-1])
     rec["r"], rec["g"], rec["b"] = flat[:, 0], flat[:, 1], flat[:, 2]
     rec["off"] = off
     with open(path, "wb") as f:
@@ -52,12 +54,21 @@ def psnr(a, b, max_val: float = 1.0) -> float:
 
 
 def ssim(a, b, max_val: float = 1.0, win: int = 7) -> float:
-    """Mean SSIM with a uniform window (grayscale of RGB inputs)."""
+    """Mean SSIM with a uniform `win`x`win` window (grayscale of RGB
+    inputs). NOTE: trainer._ssim uses an 11x11 window — the two are
+    different metrics; pass win=11 to match. Inputs smaller than the
+    window have no valid region (np.convolve would silently swap
+    operands), so they are rejected."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     if a.ndim == 3:
         a = a.mean(-1)
+    if b.ndim == 3:
         b = b.mean(-1)
+    if min(a.shape) < win or a.shape != b.shape:
+        raise ValueError(
+            f"ssim needs matching images at least {win}px per side, "
+            f"got {a.shape} vs {b.shape}")
 
     def filt(x):
         # separable uniform filter, 'valid' windows
