@@ -116,11 +116,21 @@ def cmd_pt(args) -> int:
     )
     from gsrt.utils.image import save_png
 
-    from gsrt.scene.primitives_catalog import planets_in_one_weekend
+    from gsrt.scene.primitives_catalog import (
+        cubes_and_common_scene,
+        cylinder_cubes_common_scene,
+        mandelbulb_scene,
+        planets_in_one_weekend,
+        simple_test,
+    )
     scenes = {"rtiow": ray_tracing_in_one_weekend,
               "cornell": cornell_box,
               "cubes": cube_and_spheres,
-              "planets": planets_in_one_weekend}
+              "planets": planets_in_one_weekend,
+              "cubesgrid": cubes_and_common_scene,
+              "cylinders": cylinder_cubes_common_scene,
+              "mandelbulb": mandelbulb_scene,
+              "simple": simple_test}
     if args.scene == "obj":
         from gsrt.core.types import make_camera, look_at
         from gsrt.scene.obj import load_obj

@@ -73,6 +73,18 @@ class PrimitiveScene(NamedTuple):
     # (gsrt.ops.tri_kernel); built with `with_tri_table` and preferred over
     # tri_clusters by _closest_hit — this is the TPU production path
     tri_table: Optional["TriTable"] = None
+    # capped y-axis cylinders (the reference's ProceduralCylinder hit
+    # group; its rint tests the side surface of a cylinder with
+    # half-height = radius, RayTracing.ProceduralCylinder.rint:27-52).
+    # None when the scene has none.
+    cyl_center: Optional[jnp.ndarray] = None      # [C, 3]
+    cyl_radius: Optional[jnp.ndarray] = None      # [C]
+    cyl_half_h: Optional[jnp.ndarray] = None      # [C]
+    cyl_mat: Optional[jnp.ndarray] = None         # [C] int32
+    # Mandelbulb DE-marched fractals (ProceduralMandelbulb.rint)
+    mnd_center: Optional[jnp.ndarray] = None      # [M, 3]
+    mnd_radius: Optional[jnp.ndarray] = None      # [M]
+    mnd_mat: Optional[jnp.ndarray] = None         # [M] int32
 
     @property
     def counts(self):
@@ -205,6 +217,40 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
         best_t = jnp.where(upd, ti, best_t)
         best_n = jnp.where(upd[:, None], n, best_n)
         best_m = jnp.where(upd, scene.box_mat[i], best_m)
+        if best_uv is not None:
+            best_uv = jnp.where(upd[:, None], sphere_uv(n), best_uv)
+
+    if scene.cyl_center is not None and scene.cyl_center.shape[0]:
+        from gsrt.ops.primitives import cylinder_normal, ray_cylinder
+        t = ray_cylinder(orig, dirn, scene.cyl_center, scene.cyl_radius,
+                         scene.cyl_half_h, t_min, t_max)      # [R,C]
+        i = jnp.argmin(t, axis=-1)
+        ti = jnp.take_along_axis(t, i[:, None], -1)[:, 0]
+        hit_p = orig + ti[:, None] * dirn
+        n = cylinder_normal(hit_p, scene.cyl_center[i],
+                            scene.cyl_radius[i], scene.cyl_half_h[i])
+        upd = ti < best_t
+        best_t = jnp.where(upd, ti, best_t)
+        best_n = jnp.where(upd[:, None], n, best_n)
+        best_m = jnp.where(upd, scene.cyl_mat[i], best_m)
+        if best_uv is not None:
+            best_uv = jnp.where(upd[:, None], sphere_uv(n), best_uv)
+
+    if scene.mnd_center is not None and scene.mnd_center.shape[0]:
+        from gsrt.ops.primitives import mandelbulb_normal, ray_mandelbulb
+        t = ray_mandelbulb(orig, dirn, scene.mnd_center, scene.mnd_radius,
+                           t_min, t_max)                       # [R,M]
+        i = jnp.argmin(t, axis=-1)
+        ti = jnp.take_along_axis(t, i[:, None], -1)[:, 0]
+        hit_p = orig + ti[:, None] * dirn
+        # DE gradient at the center-relative point (the DE is evaluated
+        # unscaled, exactly like the march and the reference's
+        # dist(r - sc) — the radius only bounds the march)
+        n = mandelbulb_normal(hit_p - scene.mnd_center[i])
+        upd = ti < best_t
+        best_t = jnp.where(upd, ti, best_t)
+        best_n = jnp.where(upd[:, None], n, best_n)
+        best_m = jnp.where(upd, scene.mnd_mat[i], best_m)
         if best_uv is not None:
             best_uv = jnp.where(upd[:, None], sphere_uv(n), best_uv)
 

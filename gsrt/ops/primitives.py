@@ -105,6 +105,21 @@ def ray_cylinder(orig, dirn, centers, radii, half_h, t_min, t_max):
     return jnp.minimum(t_side, t_cap)
 
 
+def cylinder_normal(point, center, radius, half_h, eps: float = 1e-4):
+    """Outward normal of a capped y-axis cylinder at a surface point:
+    cap normal (0, ±1, 0) within eps·half_h of a cap plane, radial
+    (x, 0, z)/r otherwise."""
+    rel = point - center
+    on_cap = jnp.abs(jnp.abs(rel[..., 1]) - half_h) <= eps * half_h
+    cap_n = jnp.stack([jnp.zeros_like(rel[..., 1]),
+                       jnp.sign(rel[..., 1]),
+                       jnp.zeros_like(rel[..., 1])], -1)
+    side = rel * jnp.array([1.0, 0.0, 1.0])
+    side_n = side / jnp.maximum(
+        jnp.linalg.norm(side, axis=-1, keepdims=True), 1e-12)
+    return jnp.where(on_cap[..., None], cap_n, side_n)
+
+
 def ray_triangle(orig, dirn, v0, v1, v2, t_min, t_max):
     """Möller–Trumbore, [R,3] rays × [P] triangles → (t [R,P], u, v).
 

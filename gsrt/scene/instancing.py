@@ -69,8 +69,12 @@ def instantiate_scene(scene: PrimitiveScene,
                       transforms: Sequence[np.ndarray]) -> PrimitiveScene:
     """Replicate every primitive of `scene` once per transform."""
     has_uv = scene.tri_uv0 is not None
+    has_cyl = scene.cyl_center is not None and scene.cyl_center.shape[0]
+    has_mnd = scene.mnd_center is not None and scene.mnd_center.shape[0]
     sph_c, sph_r, sph_m = [], [], []
     box_lo, box_hi, box_m = [], [], []
+    cyl_c, cyl_r, cyl_h, cyl_m = [], [], [], []
+    mnd_c, mnd_r, mnd_m = [], [], []
     t0s, t1s, t2s, tms = [], [], [], []
     uv0s, uv1s, uv2s = [], [], []
     for T in transforms:
@@ -113,6 +117,23 @@ def instantiate_scene(scene: PrimitiveScene,
                     uv0s.append(z)
                     uv1s.append(z)
                     uv2s.append(z)
+        if has_cyl:
+            # cylinders are y-axis-aligned geometry: the linear part must
+            # preserve the y axis (up to sign/scale) or the instanced
+            # cylinder would render with the wrong axis
+            col_y = T[:, :3] @ np.array([0.0, 1.0, 0.0], np.float32)
+            assert abs(col_y[0]) < 1e-5 and abs(col_y[2]) < 1e-5, \
+                "cylinder instancing requires a y-axis-preserving transform"
+            cyl_c.append(_apply(T, np.asarray(scene.cyl_center)))
+            cyl_r.append(np.asarray(scene.cyl_radius) * uniform_scale)
+            cyl_h.append(np.asarray(scene.cyl_half_h) * abs(float(col_y[1])))
+            cyl_m.append(np.asarray(scene.cyl_mat))
+        if has_mnd:
+            # the DE shape's orientation is baked (45°-about-z pre-rotation
+            # in mandelbulb_de); transforms move/scale only its bound
+            mnd_c.append(_apply(T, np.asarray(scene.mnd_center)))
+            mnd_r.append(np.asarray(scene.mnd_radius) * uniform_scale)
+            mnd_m.append(np.asarray(scene.mnd_mat))
         if scene.tri_v0.shape[0]:
             t0s.append(_apply(T, np.asarray(scene.tri_v0)))
             t1s.append(_apply(T, np.asarray(scene.tri_v1)))
@@ -140,7 +161,16 @@ def instantiate_scene(scene: PrimitiveScene,
         alpha_textures=scene.alpha_textures,
         tri_uv0=cat(uv0s, (0, 2)) if has_uv else None,
         tri_uv1=cat(uv1s, (0, 2)) if has_uv else None,
-        tri_uv2=cat(uv2s, (0, 2)) if has_uv else None)
+        tri_uv2=cat(uv2s, (0, 2)) if has_uv else None,
+        cyl_center=cat(cyl_c, (0, 3)) if has_cyl else None,
+        cyl_radius=cat(cyl_r, (0,)) if has_cyl else None,
+        cyl_half_h=cat(cyl_h, (0,)) if has_cyl else None,
+        cyl_mat=(cat(cyl_m, (0,), jnp.int32).astype(jnp.int32)
+                 if has_cyl else None),
+        mnd_center=cat(mnd_c, (0, 3)) if has_mnd else None,
+        mnd_radius=cat(mnd_r, (0,)) if has_mnd else None,
+        mnd_mat=(cat(mnd_m, (0,), jnp.int32).astype(jnp.int32)
+                 if has_mnd else None))
 
 
 def instantiate_cloud(cloud: GaussianCloud,

@@ -26,6 +26,8 @@ class _SceneBuilder:
     def __init__(self):
         self.sph = []       # (center, radius, mat)
         self.boxes = []     # (bmin, bmax, mat)
+        self.cyls = []      # (center, radius, half_h, mat)
+        self.bulbs = []     # (center, radius, mat)
         self.tris = []      # (v0, v1, v2, mat)
         self.mats = []      # (model, diffuse, fuzz, refr, tex_id)
         self.textures = []  # [TH, TW, 3] arrays (uniform size)
@@ -61,6 +63,21 @@ class _SceneBuilder:
     def box(self, bmin, bmax, mat):
         self.boxes.append((bmin, bmax, mat))
 
+    def cube(self, center, half, mat):
+        """CreateCube(center, radius): AABB center ± radius
+        (Model.cpp:415-423)."""
+        c = np.asarray(center, np.float32)
+        self.boxes.append((c - half, c + half, mat))
+
+    def cylinder(self, center, radius, mat, half_h=None):
+        """Capped y-axis cylinder; the reference's cylinder rint uses
+        half-height = radius (ProceduralCylinder.rint:44-45)."""
+        self.cyls.append((center, radius,
+                          radius if half_h is None else half_h, mat))
+
+    def mandelbulb(self, center, radius, mat):
+        self.bulbs.append((center, radius, mat))
+
     def quad(self, a, b, c, d, mat):
         self.tris.append((a, b, c, mat))
         self.tris.append((a, c, d, mat))
@@ -85,9 +102,22 @@ class _SceneBuilder:
         has_cutout = any((a < 1.0).any() for a in self.alphas)
         alpha_textures = (jnp.asarray(np.stack(self.alphas))
                           if has_cutout else None)
+        C, M = len(self.cyls), len(self.bulbs)
+        cyl_kwargs = dict(
+            cyl_center=arr([c[0] for c in self.cyls], (C, 3)),
+            cyl_radius=arr([c[1] for c in self.cyls], (C,)),
+            cyl_half_h=arr([c[2] for c in self.cyls], (C,)),
+            cyl_mat=arr([c[3] for c in self.cyls], (C,), np.int32),
+        ) if C else {}
+        mnd_kwargs = dict(
+            mnd_center=arr([m[0] for m in self.bulbs], (M, 3)),
+            mnd_radius=arr([m[1] for m in self.bulbs], (M,)),
+            mnd_mat=arr([m[2] for m in self.bulbs], (M,), np.int32),
+        ) if M else {}
         return PrimitiveScene(
             textures=textures,
             alpha_textures=alpha_textures,
+            **cyl_kwargs, **mnd_kwargs,
             sph_center=arr([s[0] for s in self.sph], (S, 3)),
             sph_radius=arr([s[1] for s in self.sph], (S,)),
             sph_mat=arr([s[2] for s in self.sph], (S,), np.int32),
@@ -102,10 +132,10 @@ class _SceneBuilder:
         )
 
 
-def ray_tracing_in_one_weekend(width=640, height=480, seed=42):
-    """The RTIOW final scene (SceneList.cpp:157-184)."""
-    rng = np.random.default_rng(seed)
-    b = _SceneBuilder()
+def _common_grid(b: _SceneBuilder, rng):
+    """AddRayTracingInOneWeekendCommonScene (SceneList.cpp:21-66): the
+    ground sphere + 22x22 random small-sphere grid (diffuse/metal/glass at
+    0.8/0.15/0.05), WITHOUT the three hero spheres."""
     b.sphere((0, -1000, 0), 1000.0, b.lambertian((0.5, 0.5, 0.5)))
     for i in range(-11, 11):
         for j in range(-11, 11):
@@ -123,6 +153,13 @@ def ray_tracing_in_one_weekend(width=640, height=480, seed=42):
                     b.sphere(center, 0.2, b.metallic(rgb, fuzz))
                 else:
                     b.sphere(center, 0.2, b.dielectric(1.5))
+
+
+def ray_tracing_in_one_weekend(width=640, height=480, seed=42):
+    """The RTIOW final scene (SceneList.cpp:157-184)."""
+    rng = np.random.default_rng(seed)
+    b = _SceneBuilder()
+    _common_grid(b, rng)
     b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
     b.sphere((-4, 1, 0), 1.0, b.lambertian((0.4, 0.2, 0.1)))
     b.sphere((4, 1, 0), 1.0, b.metallic((0.7, 0.6, 0.5), 0.0))
@@ -199,23 +236,7 @@ def planets_in_one_weekend(width=640, height=480, seed=42):
                                             (0.35, 0.15, 0.08)))
     tex_moon = b.texture(_procedural_planet((0.65, 0.65, 0.62),
                                             (0.42, 0.42, 0.40)))
-    b.sphere((0, -1000, 0), 1000.0, b.lambertian((0.5, 0.5, 0.5)))
-    for i in range(-11, 11):
-        for j in range(-11, 11):
-            choose = rng.random()
-            cy = j + 0.9 * rng.random()
-            cx = i + 0.9 * rng.random()
-            center = np.array([cx, 0.2, cy])
-            if np.linalg.norm(center - np.array([4, 0.2, 0])) > 0.9:
-                if choose < 0.8:
-                    rgb = rng.random(3) * rng.random(3)
-                    b.sphere(center, 0.2, b.lambertian(rgb))
-                elif choose < 0.95:
-                    fuzz = 0.5 * rng.random()
-                    rgb = 0.5 * (1 + rng.random(3))
-                    b.sphere(center, 0.2, b.metallic(rgb, fuzz))
-                else:
-                    b.sphere(center, 0.2, b.dielectric(1.5))
+    _common_grid(b, rng)
     b.sphere((0, 1, 0), 1.0,
              b.material(Materials.METALLIC, (1, 1, 1), fuzz=0.1,
                         tex_id=tex_earth))
@@ -243,16 +264,149 @@ def _procedural_planet(hi_rgb, lo_rgb, th=128, tw=256):
 
 
 def cube_and_spheres(width=256, height=256):
-    """SceneList.cpp:130-155 minus the OBJ cube."""
+    """CubeAndSpheres (SceneList.cpp:130-155): the cube_multi.obj mesh +
+    three spheres — Metallic(0.7,0.5,0.8, fuzz 0.2) at (1,0,0),
+    Dielectric(1.5) at (-1,0,0) and a textured Lambertian at (0,1,0) (the
+    reference's land_ocean_ice_cloud PNG, stood in by the procedural earth
+    — no bundled binaries). The OBJ is loaded from the reference tree when
+    present; a unit box with cube_multi's first material stands in
+    otherwise."""
+    import os
     b = _SceneBuilder()
+    tex_earth = b.texture(_procedural_earth())
     b.sphere((1, 0, 0), 0.5, b.metallic((0.7, 0.5, 0.8), 0.2))
     b.sphere((-1, 0, 0), 0.5, b.dielectric(1.5))
-    b.sphere((0, 1, 0), 0.5, b.lambertian((1.0, 1.0, 1.0)))
-    b.box((-0.5, -1.2, -0.5), (0.5, -0.7, 0.5),
-          b.lambertian((0.8, 0.6, 0.2)))
+    b.sphere((0, 1, 0), 0.5,
+             b.material(Materials.LAMBERTIAN, (1, 1, 1), tex_id=tex_earth))
+
+    from gsrt.scene.reference_scenes import REF_ROOT
+    obj_path = os.path.join(REF_ROOT, "assets", "models", "cube_multi.obj")
+    if os.path.exists(obj_path):
+        from gsrt.scene.obj import load_obj
+        cube = load_obj(obj_path)
+        base = len(b.mats)
+        mm = cube.materials
+        for k in range(int(mm.model.shape[0])):
+            b.material(int(mm.model[k]),
+                       tuple(np.asarray(mm.diffuse[k], np.float32)),
+                       fuzz=float(mm.fuzziness[k]),
+                       refr=float(mm.refraction_index[k]))
+        v0 = np.asarray(cube.tri_v0)
+        v1 = np.asarray(cube.tri_v1)
+        v2 = np.asarray(cube.tri_v2)
+        vm = np.asarray(cube.tri_mat)
+        for t in range(v0.shape[0]):
+            b.tri(v0[t], v1[t], v2[t], base + int(vm[t]))
+    else:
+        b.box((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5),
+              b.lambertian((0.8, 0.6, 0.2)))
     camera = make_camera(look_at((0, 0, 2), (0, 0, 0)), 90.0, width, height)
     return b.build(), camera, dict(aperture=0.05, focus=2.0, has_sky=True,
                                    gamma=False)
+
+
+def _grid_centers(rng, grid):
+    """One reference grid cell (SceneList.cpp:464-476): the material draw
+    precedes the two jitter draws, and a cell only spawns when its center
+    clears the (4, 0.2, 0) hero spot by 0.9."""
+    for i in range(-grid, grid):
+        for j in range(-grid, grid):
+            choose = rng.random()
+            cy = j + 0.9 * rng.random()
+            cx = i + 0.9 * rng.random()
+            center = np.array([cx, 0.2, cy])
+            if np.linalg.norm(center - np.array([4, 0.2, 0])) > 0.9:
+                yield choose, center
+
+
+def cubes_and_common_scene(width=640, height=480, seed=42, grid=30):
+    """CubesAndCommonScene (SceneList.cpp:443-509): the RTIOW common grid
+    plus a 60x60 field of procedural 0.2-half-extent cubes with the same
+    0.8/0.15/0.05 diffuse/metal/glass mix. `grid` scales the cube field
+    (reference: 30 → 3 600 cells)."""
+    rng = np.random.default_rng(seed)
+    b = _SceneBuilder()
+    _common_grid(b, rng)
+    for choose, center in _grid_centers(rng, grid):
+        if choose < 0.8:
+            b.cube(center, 0.2, b.lambertian(rng.random(3) * rng.random(3)))
+        elif choose < 0.95:
+            fuzz = 0.5 * rng.random()
+            b.cube(center, 0.2, b.metallic(0.5 * (1 + rng.random(3)), fuzz))
+        else:
+            b.cube(center, 0.2, b.dielectric(1.5))
+    camera = make_camera(look_at((13, 2, 3), (0, 0, 0)), 20.0, width, height)
+    return b.build(), camera, dict(aperture=0.1, focus=10.0, has_sky=True,
+                                   gamma=True)
+
+
+def cylinder_cubes_common_scene(width=640, height=480, seed=42, grid=30):
+    """CylinderCubesCommonScene (SceneList.cpp:511-598): the common grid
+    plus a half-cubes / half-cylinders field. Every cylinder is a
+    DiffuseLight (the reference's CreateCylinder only supports emissive
+    materials, Model.cpp:638) with half-height = radius = 0.2."""
+    rng = np.random.default_rng(seed)
+    b = _SceneBuilder()
+    _common_grid(b, rng)
+    for i in range(-grid, grid):
+        for j in range(-grid, grid):
+            kind = rng.random()
+            choose = rng.random()
+            cy = j + 0.9 * rng.random()
+            cx = i + 0.9 * rng.random()
+            center = np.array([cx, 0.2, cy])
+            if np.linalg.norm(center - np.array([4, 0.2, 0])) <= 0.9:
+                continue
+            if kind <= 0.5:
+                if choose < 0.8:
+                    b.cube(center, 0.2,
+                           b.lambertian(rng.random(3) * rng.random(3)))
+                elif choose < 0.95:
+                    fuzz = 0.5 * rng.random()
+                    b.cube(center, 0.2,
+                           b.metallic(0.5 * (1 + rng.random(3)), fuzz))
+                else:
+                    b.cube(center, 0.2, b.dielectric(1.5))
+            else:
+                rgb = (rng.random(3) * rng.random(3) if choose < 0.8
+                       else 0.5 * (1 + rng.random(3)))
+                b.cylinder(center, 0.2, b.light(rgb))
+    camera = make_camera(look_at((13, 2, 3), (0, 0, 0)), 20.0, width, height)
+    return b.build(), camera, dict(aperture=0.1, focus=10.0, has_sky=True,
+                                   gamma=True)
+
+
+def mandelbulb_scene(width=640, height=480, seed=42):
+    """MandelbulbScene (SceneList.cpp:1249-1276): the common grid plus a
+    radius-1.25 power-8 Mandelbulb at (0, 2, 0), Lambertian(0.5, 0.7, 1.0);
+    camera at (0, 2.5, 3) facing -z, fov 90."""
+    rng = np.random.default_rng(seed)
+    b = _SceneBuilder()
+    _common_grid(b, rng)
+    b.mandelbulb((0, 2, 0), 1.25, b.lambertian((0.5, 0.7, 1.0)))
+    camera = make_camera(look_at((0, 2.5, 3), (0, 2.5, 0)), 90.0,
+                         width, height)
+    return b.build(), camera, dict(aperture=0.05, focus=2.0, has_sky=True,
+                                   gamma=True)
+
+
+def simple_test(width=512, height=512):
+    """SimpleTest (SceneList.cpp:1105-1124) = Model::CreateSquare(555):
+    CornellBox::CreateSimple's surviving geometry — the back green panel
+    and the ceiling light quad (CornellBox.cpp:16-112); no sky."""
+    s = 555.0
+    b = _SceneBuilder()
+    green = b.lambertian((0.12, 0.45, 0.15))
+    light = b.light((15.0, 15.0, 15.0))
+    b.quad((0, 0, -s), (s, 0, -s), (s, s, -s), (0, s, -s), green)
+    x0, x1 = s * 213 / 555, s * 343 / 555
+    z0, z1 = s * (-555 + 332) / 555, s * (-555 + 227) / 555
+    y1 = s * 0.998
+    b.quad((x0, y1, z1), (x1, y1, z1), (x1, y1, z0), (x0, y1, z0), light)
+    camera = make_camera(look_at((278, 278, 800), (278, 278, 0)),
+                         40.0, width, height)
+    return b.build(), camera, dict(aperture=0.0, focus=10.0, has_sky=False,
+                                   gamma=True)
 
 
 def mirror_in_gaussians(width=128, height=128, n_splats=60, seed=7):
