@@ -459,12 +459,36 @@ def cmd_train(args) -> int:
     optimizer = make_optimizer(lr_means=2e-3, lr_scales=5e-3,
                                lr_opacity=5e-2, lr_sh=1e-2)
     opt_state = optimizer.init(params)
-    step = jax.jit(lambda p, s: train_step(
-        p, s, target, camera, cfg, optimizer, lambda_ssim=args.lambda_ssim))
-    for it in range(args.iters):
-        params, opt_state, loss = step(params, opt_state)
-        if it % max(1, args.iters // 10) == 0:
-            print(f"iter {it:5d}  loss {float(loss):.5f}")
+    if args.densify_every:
+        from gsrt.models.densify import (densify_and_prune, init_stats,
+                                         make_train_step_adaptive)
+        stats = init_stats(params.means.shape[0])
+        astep = make_train_step_adaptive(cfg, optimizer,
+                                         lambda_ssim=args.lambda_ssim)
+        for it in range(args.iters):
+            params, opt_state, stats, loss = astep(
+                params, opt_state, stats, target, camera)
+            if (it + 1) % args.densify_every == 0 and \
+                    it < args.iters * 3 // 4:
+                params, opt_state, stats, rep = densify_and_prune(
+                    params, opt_state, stats,
+                    grad_threshold=args.densify_grad,
+                    scale_threshold=args.densify_scale,
+                    max_splats=args.max_gaussians,
+                    bucket=max(64, args.n_gaussians), seed=it)
+                print(f"iter {it:5d}  densify: {rep.n_before} -> "
+                      f"{rep.n_after} live (+{rep.n_cloned} cloned, "
+                      f"{rep.n_split} split, -{rep.n_pruned} pruned)")
+            if it % max(1, args.iters // 10) == 0:
+                print(f"iter {it:5d}  loss {float(loss):.5f}")
+    else:
+        step = jax.jit(lambda p, s: train_step(
+            p, s, target, camera, cfg, optimizer,
+            lambda_ssim=args.lambda_ssim))
+        for it in range(args.iters):
+            params, opt_state, loss = step(params, opt_state)
+            if it % max(1, args.iters // 10) == 0:
+                print(f"iter {it:5d}  loss {float(loss):.5f}")
     if args.out:
         save_png(args.out,
                  __import__("numpy").asarray(
@@ -580,6 +604,15 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=200)
     p.add_argument("--lambda-ssim", type=float, default=0.2)
     p.add_argument("--save-ply", type=str, default=None)
+    p.add_argument("--densify-every", type=int, default=0,
+                   help="run adaptive density control every N iters "
+                        "(0 = fixed splat budget)")
+    p.add_argument("--densify-grad", type=float, default=2e-4,
+                   help="mean-gradient threshold for clone/split")
+    p.add_argument("--densify-scale", type=float, default=0.05,
+                   help="world-space scale split/clone boundary")
+    p.add_argument("--max-gaussians", type=int, default=None,
+                   help="hard cap on splat count during densification")
     p.set_defaults(fn=cmd_train)
 
     args = ap.parse_args(argv)
