@@ -504,6 +504,50 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_fit(args) -> int:
+    """Fit a Gaussian cloud to a posed COLMAP capture (the full INRIA
+    multi-view pipeline: SfM-point init, adaptive densification, holdout
+    PSNR; BASELINE.md Mip-NeRF360-style inputs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.multiview import fit_views, viewset_from_colmap
+
+    images_dir = args.images or __import__("os").path.join(
+        args.colmap, "images")
+    vs, params, extent = viewset_from_colmap(
+        args.colmap, images_dir, downscale=args.downscale,
+        limit=args.limit or None)
+    print(f"loaded {vs.n_views} views @{vs.width}x{vs.height}, "
+          f"{params.means.shape[0]} SfM points, extent {extent:.2f}")
+    cfg = RenderConfig(width=vs.width, height=vs.height,
+                       conic_mode="standard")
+    params, rep = fit_views(
+        vs, params, cfg, iters=args.iters, lambda_ssim=args.lambda_ssim,
+        holdout=args.holdout, densify_every=args.densify_every,
+        densify_grad=args.densify_grad, scene_scale=extent,
+        opacity_reset_every=args.opacity_reset_every,
+        max_splats=args.max_gaussians, seed=0,
+        log_every=max(1, args.iters // 20))
+    print(f"fit done: {rep.n_splats} splats, "
+          f"train PSNR {rep.train_psnr:.2f} dB, "
+          f"test PSNR {rep.test_psnr:.2f} dB")
+    if args.out:
+        from gsrt.models.gaussian_rt import render_fast
+        from gsrt.utils.image import save_png
+        save_png(args.out, np.asarray(render_fast(
+            params.to_cloud(), vs.camera_at(0), cfg).color))
+        print(f"wrote {args.out}")
+    if args.save_ply:
+        from gsrt.scene.ply import save_gaussian_ply
+        save_gaussian_ply(args.save_ply, params.means,
+                          params.quats, jnp.exp(params.log_scales),
+                          jax.nn.sigmoid(params.opacity_logit), params.sh)
+        print(f"wrote {args.save_ply}")
+    return 0
+
+
 def main(argv=None) -> int:
     # honor JAX_PLATFORMS even when a site plugin (axon TPU) prepends itself
     import os
@@ -614,6 +658,27 @@ def main(argv=None) -> int:
     p.add_argument("--max-gaussians", type=int, default=None,
                    help="hard cap on splat count during densification")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("fit", help="multi-view fit from a COLMAP capture")
+    p.add_argument("--colmap", type=str, required=True,
+                   help="scene root or sparse model dir (text or binary)")
+    p.add_argument("--images", type=str, default=None,
+                   help="image directory (default <colmap>/images)")
+    p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--limit", type=int, default=0,
+                   help="use only the first N views (0 = all)")
+    p.add_argument("--iters", type=int, default=2000)
+    p.add_argument("--lambda-ssim", type=float, default=0.2)
+    p.add_argument("--holdout", type=int, default=8,
+                   help="every Nth view is held out for test PSNR (0=off)")
+    p.add_argument("--densify-every", type=int, default=100)
+    p.add_argument("--densify-grad", type=float, default=2e-4)
+    p.add_argument("--opacity-reset-every", type=int, default=0)
+    p.add_argument("--max-gaussians", type=int, default=None)
+    p.add_argument("--out", type=str, default=None,
+                   help="render view 0 to PNG after the fit")
+    p.add_argument("--save-ply", type=str, default=None)
+    p.set_defaults(fn=cmd_fit)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -69,7 +69,9 @@ def random_init(key, n: int, extent: float = 3.0, z_offset: float = 4.0,
     K = (sh_degree + 1) ** 2
     return GaussianParams(
         means=means,
-        log_scales=jnp.full((n, 3), jnp.log(0.3)),
+        # explicit dtype: a weak-typed fill would retrace the first train
+        # step when the optimizer output comes back strong-typed
+        log_scales=jnp.full((n, 3), jnp.log(0.3), jnp.float32),
         quats=jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
         opacity_logit=jnp.zeros(n),
         sh=0.1 * jax.random.normal(k2, (n, K, 3)))
