@@ -358,20 +358,22 @@ def _tri_cast_kernel(
     # scalar prefetch
     tile_start_ref,        # [T_pad + 1] int32 SMEM
     # inputs
-    payload_hbm,           # [TRI_PAY, MP + chunk + 128] HBM
-    rays_hbm,              # [T_pad * win, 8] HBM, SUBLANE-major pixels
-                           # (tile-major order): cols 0-2 ray dir (world),
-                           # cols 3-5 origin (broadcast), 6-7 pad — this
-                           # orientation slices per-subtile (win, 1)
-                           # component columns with no in-kernel transpose
+    payload_hbm,           # [TRI_PAY, MP + chunk + 128] HBM; v0 rows are
+                           # ORIGIN-RELATIVE (cast_primary subtracts the
+                           # shared ray origin host-side, so tvec = -v0)
+    rays_ref,              # [3, bs, win] VMEM (auto-pipelined block):
+                           # world-space ray dirs, component-major. A
+                           # sublane-major [pixels, 8] HBM layout would
+                           # avoid the in-kernel transpose but its 8-lane
+                           # DMA slice is Mosaic-unalignable (slices along
+                           # lanes must be 128-multiples — found on
+                           # hardware, round-2 measurement)
     # outputs
     t_ref,                 # [bs, win] f32
     id_ref,                # [bs, win] int32
     # scratch
     buf,                   # [2, TRI_PAY, window] VMEM
-    rbuf,                  # [bs * win, 8] VMEM
     sem,                   # DMA semaphores (2,)
-    rsem,                  # DMA semaphore for rays
     *,
     win: int, bs: int, chunk: int, t_min: float, t_max: float,
 ):
@@ -386,10 +388,6 @@ def _tri_cast_kernel(
     for s in range(bs):
         pfx.append(pfx[-1] + ncs[s])
     total_chunks = pfx[-1]
-
-    ray_copy = pltpu.make_async_copy(
-        rays_hbm.at[pl.ds(t0 * win, bs * win), :], rbuf, rsem)
-    ray_copy.start()
 
     def locate(j):
         s = jnp.int32(0)
@@ -416,10 +414,13 @@ def _tri_cast_kernel(
     def _():
         dma(0, 0).start()
 
-    ray_copy.wait()
-    ox = rbuf[0:1, 3:4]                        # (1, 1) origin components
-    oy = rbuf[0:1, 4:5]
-    oz = rbuf[0:1, 5:6]
+    # per-subtile dir columns: (bs, win) block rows -> (win, bs) matrices;
+    # Mosaic lowers these (8k, 128m)-shaped transposes natively (the splat
+    # kernel's trans.T is the existing precedent). Column s is pulled per
+    # chunk by the same masked-sum trick used for best_t.
+    dx_all = rays_ref[0].T                     # (win, bs)
+    dy_all = rays_ref[1].T
+    dz_all = rays_ref[2].T
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
     col_sel = jax.lax.broadcasted_iota(jnp.int32, (win, bs), 1)
@@ -448,12 +449,13 @@ def _tri_cast_kernel(
 
         def cast(args):
             best_t, best_id = args
-            # this subtile's ray dirs: (win, 1) component columns at
-            # sublane offset s*win — broadcast against (1, window) rows
-            doff = s * win
-            dx = rbuf[pl.ds(doff, win), 0:1]
-            dy = rbuf[pl.ds(doff, win), 1:2]
-            dz = rbuf[pl.ds(doff, win), 2:3]
+            # this subtile's ray dirs as (win, 1) columns
+            dx = jnp.sum(jnp.where(colmask, dx_all, 0.0), axis=1,
+                         keepdims=True)
+            dy = jnp.sum(jnp.where(colmask, dy_all, 0.0), axis=1,
+                         keepdims=True)
+            dz = jnp.sum(jnp.where(colmask, dz_all, 0.0), axis=1,
+                         keepdims=True)
             v0x, v0y, v0z = pay[0:1, :], pay[1:2, :], pay[2:3, :]
             e1x, e1y, e1z = pay[3:4, :], pay[4:5, :], pay[5:6, :]
             e2x, e2y, e2z = pay[6:7, :], pay[7:8, :], pay[8:9, :]
@@ -467,9 +469,9 @@ def _tri_cast_kernel(
             pvz = dx * e2y - dy * e2x
             det = e1x * pvx + e1y * pvy + e1z * pvz
             inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvx = ox - v0x                             # (1, window)
-            tvy = oy - v0y
-            tvz = oz - v0z
+            tvx = -v0x                 # (1, window); v0 is origin-relative
+            tvy = -v0y
+            tvz = -v0z
             u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
             qvx = tvy * e1z - tvz * e1y                # (1, window)
             qvy = tvz * e1x - tvx * e1z
@@ -532,7 +534,9 @@ def cast_primary(binning: TileBinning, dirs, origin, *, width: int,
     t_pad = (-T) % bs
     G = (T + t_pad) // bs
 
-    # tile-major ray-dir rows + origin broadcast
+    # tile-major component-major ray dirs [3, T_pad, win]; the shared
+    # origin folds into the payload (v0 -> v0 - origin => tvec = -v0), so
+    # the kernel sees dirs only
     d = dirs.reshape(height, width, 3)
     pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
     if pad_h or pad_w:
@@ -542,11 +546,11 @@ def cast_primary(binning: TileBinning, dirs, origin, *, width: int,
     if t_pad:
         d = jnp.concatenate(
             [d, jnp.zeros((t_pad, win, 3), d.dtype)], axis=0)
-    npix = (T + t_pad) * win
-    rays = jnp.concatenate([
-        d.reshape(npix, 3),
-        jnp.broadcast_to(origin[None, :], (npix, 3)),
-        jnp.zeros((npix, 2), jnp.float32)], axis=1)   # [npix, 8]
+    rays = jnp.transpose(d, (2, 0, 1))                # [3, T_pad, win]
+
+    payload = jnp.concatenate(
+        [binning.payload[0:3] - origin.astype(jnp.float32)[:, None],
+         binning.payload[3:]], axis=0)
 
     tile_start = binning.tile_start
     if t_pad:
@@ -554,24 +558,24 @@ def cast_primary(binning: TileBinning, dirs, origin, *, width: int,
             [tile_start,
              jnp.broadcast_to(tile_start[-1:], (t_pad,))])
     payload, rays, tile_start = jax.lax.optimization_barrier(
-        (binning.payload, rays, tile_start))
+        (payload, rays, tile_start))
 
     kernel = functools.partial(_tri_cast_kernel, win=win, bs=bs,
                                chunk=chunk, t_min=t_min, t_max=t_max)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
-                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((3, bs, win), index_map=lambda g, ss: (0, g, 0)),
+        ],
         out_specs=[
             pl.BlockSpec((bs, win), index_map=lambda g, ss: (g, 0)),
             pl.BlockSpec((bs, win), index_map=lambda g, ss: (g, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, TRI_PAY, chunk + 128), jnp.float32),
-            pltpu.VMEM((bs * win, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
     t_out, id_out = pl.pallas_call(

@@ -61,11 +61,11 @@ def test_cast_matches_brute(n, seed):
     hit_ref = np.isfinite(t_ref)
     hit = t < 3e38
     np.testing.assert_array_equal(hit, hit_ref)
-    np.testing.assert_allclose(t[hit], t_ref[hit_ref], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(t[hit], t_ref[hit_ref], rtol=1e-5, atol=1e-5)
     # ids can only differ where two triangles tie in t exactly
     diff = hit & (tid != id_ref)
     assert diff.sum() == 0 or np.allclose(
-        t[diff], t_ref[diff], rtol=1e-6)
+        t[diff], t_ref[diff], rtol=1e-5)
 
 
 def test_near_plane_crosser_covered():
@@ -87,7 +87,7 @@ def test_near_plane_crosser_covered():
     assert hit_ref.any()
     t = np.asarray(t)
     np.testing.assert_array_equal(t < 3e38, hit_ref)
-    np.testing.assert_allclose(t[hit_ref], t_ref[hit_ref], rtol=1e-6)
+    np.testing.assert_allclose(t[hit_ref], t_ref[hit_ref], rtol=1e-5)
 
 
 def test_overflow_flag():

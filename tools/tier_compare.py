@@ -2,8 +2,14 @@
 workload: expand_impl x payload x span_mode x scan_impl. Prints a ranked
 table; the winner becomes the default config.
 
+Each config runs in its OWN subprocess: the axon runtime raises
+InvalidArgument when re-executing a program after another sizable
+executable ran in-process (tools/tpu_smoke.py docstring), which killed
+the first in-process version of this sweep after one config.
+
 Usage: python tools/tier_compare.py [N] [W] [H]
        python tools/tier_compare.py --quick   (pallas/fused x f32/compact only)
+       python tools/tier_compare.py --one expand payload span scan [N W H]
 """
 
 from __future__ import annotations
@@ -11,77 +17,111 @@ from __future__ import annotations
 import functools
 import itertools
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import numpy as np
+IMG_DIR = "/tmp/gsrt_tier_imgs"
 
-from gsrt.core.config import RenderConfig
-from gsrt.models.gaussian_rt import (GaussianRayTracer, fm_from_cloud,
-                                     render_tiled)
-from gsrt.scene.catalog import random_cloud
+
+def run_one(expand: str, payload: str, span: str, scan: str,
+            N: int, W: int, H: int) -> None:
+    import jax
+    import numpy as np
+
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.gaussian_rt import (GaussianRayTracer, fm_from_cloud,
+                                         render_tiled)
+    from gsrt.scene.catalog import random_cloud
+
+    cloud, camera = random_cloud(N, seed=0, width=W, height=H,
+                                 scale_range=(0.004, 0.03))
+    fm = jax.block_until_ready(fm_from_cloud(cloud))
+
+    cfg = RenderConfig(width=W, height=H, conic_mode="standard",
+                       expand_impl=expand, payload=payload,
+                       span_mode=span, scan_impl=scan)
+    tracer = GaussianRayTracer(cfg, "tiled")
+    mp = tracer.calibrate(cloud, camera)
+    render = functools.partial(render_tiled, cfg=cfg, max_pairs=mp,
+                               max_rows=tracer.max_rows)
+
+    @jax.jit
+    def step(fm, camera):
+        out = render(fm, camera)
+        return out.trans.sum() + out.color.sum()
+
+    @jax.jit
+    def frame(fm, camera):
+        return render(fm, camera).color
+
+    float(step(fm, camera))
+    img = np.asarray(frame(fm, camera))
+    os.makedirs(IMG_DIR, exist_ok=True)
+    np.save(os.path.join(IMG_DIR, f"{expand}-{payload}-{span}-{scan}.npy"),
+            img[:: max(1, H // 128), :: max(1, W // 128)])
+
+    K = 10
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(K):
+            r = step(fm, camera)
+        float(r)
+        times.append((time.perf_counter() - t0) / K)
+    dt = min(times)
+    # parsed by the parent: RESULT dt_ms mp
+    print(f"RESULT {dt * 1e3:.3f} {mp}", flush=True)
 
 
 def main() -> None:
+    if "--one" in sys.argv:
+        i = sys.argv.index("--one")
+        expand, payload, span, scan = sys.argv[i + 1:i + 5]
+        rest = [int(a) for a in sys.argv[i + 5:i + 8]]
+        N, W, H = (rest + [1_000_000, 1920, 1080][len(rest):])[:3]
+        run_one(expand, payload, span, scan, N, W, H)
+        return
+
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     quick = "--quick" in sys.argv
     N = int(args[0]) if len(args) > 0 else 1_000_000
     W = int(args[1]) if len(args) > 1 else 1920
     H = int(args[2]) if len(args) > 2 else 1080
-    cloud, camera = random_cloud(N, seed=0, width=W, height=H,
-                                 scale_range=(0.004, 0.03))
-    fm = jax.block_until_ready(fm_from_cloud(cloud))
 
-    grid = itertools.product(
+    import numpy as np
+
+    grid = list(itertools.product(
         ["pallas", "fused"],
         ["f32", "compact"],
         ["rect"] if quick else ["rect", "ellipse"],
-        ["roll"] if quick else ["roll", "logmm"])
+        ["roll"] if quick else ["roll", "logmm"]))
 
     ref_img = None
     rows = []
     for expand, payload, span, scan in grid:
-        cfg = RenderConfig(width=W, height=H, conic_mode="standard",
-                           expand_impl=expand, payload=payload,
-                           span_mode=span, scan_impl=scan)
-        tracer = GaussianRayTracer(cfg, "tiled")
-        mp = tracer.calibrate(cloud, camera)
-        render = functools.partial(render_tiled, cfg=cfg, max_pairs=mp,
-                                   max_rows=tracer.max_rows)
-
-        @jax.jit
-        def step(fm, camera, render=render):
-            out = render(fm, camera)
-            return out.trans.sum() + out.color.sum()
-
-        @jax.jit
-        def frame(fm, camera, render=render):
-            return render(fm, camera).color
-
         name = f"{expand}/{payload}/{span}/{scan}"
-        try:
-            float(step(fm, camera))
-        except Exception as e:  # noqa: BLE001 — report and keep sweeping
-            print(f"{name:28s}: FAILED {type(e).__name__}: {e}", flush=True)
+        cmd = [sys.executable, os.path.abspath(__file__), "--one",
+               expand, payload, span, scan, str(N), str(W), str(H)]
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        result = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+        if p.returncode != 0 or not result:
+            tail = (p.stderr or p.stdout).strip().splitlines()[-6:]
+            print(f"{name:28s}: FAILED rc={p.returncode}", flush=True)
+            for l in tail:
+                print(f"    {l}", flush=True)
             continue
-        img = np.asarray(frame(fm, camera))
+        dt_ms, mp = result[-1].split()[1:3]
+        dt = float(dt_ms) / 1e3
+        img = np.load(os.path.join(
+            IMG_DIR, f"{expand}-{payload}-{span}-{scan}.npy"))
         if ref_img is None:
             ref_img = img
         err = float(np.abs(img - ref_img).max())
-        K = 10
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r = None
-            for _ in range(K):
-                r = step(fm, camera)
-            float(r)
-            times.append((time.perf_counter() - t0) / K)
-        dt = min(times)
-        rows.append((dt, name, mp, err))
+        rows.append((dt, name, int(mp), err))
         print(f"{name:28s}: {dt * 1e3:7.2f} ms/frame "
               f"({W * H / dt / 1e6:6.1f} Mrays/s)  mp={mp} "
               f"maxerr={err:.1e}", flush=True)
