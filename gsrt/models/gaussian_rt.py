@@ -405,8 +405,11 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
             "serving mode requires the packed blend kernel"
     compact = cfg.payload == "compact"
     if compact:
-        assert cfg.blend_impl == "packed", \
-            "compact payload requires the packed blend kernel"
+        if cfg.blend_impl != "packed":
+            # only the packed kernel decodes the int32 payload — fall back
+            # to the bit-parity f32 tier rather than rejecting the config
+            # (compact is the DEFAULT, so subtile users must not assert)
+            compact = False
         ntx = -(-camera.width // tw)
         if ntx > 127:       # 7-bit x-span budget (ok through 2K at 16 px)
             compact = False

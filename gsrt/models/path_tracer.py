@@ -519,7 +519,7 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
                        aperture: float = 0.0, focus: float = 1.0,
                        gaussians=None, gauss_clusters=None,
                        gauss_s_max: int = 48, gauss_rb: int = 256,
-                       primary_impl: str = "block",
+                       primary_impl: str = "auto",
                        tri_max_pairs: int = 1 << 20,
                        tri_span_exact: bool = False,
                        interpret: bool | None = None):
@@ -564,6 +564,7 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
     has_gauss = gaussians is not None or gauss_clusters is not None
 
     tri_binning = None
+    primary_impl = _resolve_primary(primary_impl, scene, aperture)
     if primary_impl == "binned":
         from gsrt.ops.tri_binning import build_tri_binning, cast_primary
         assert aperture == 0.0, "binned primary needs a shared ray origin"
@@ -699,6 +700,19 @@ def render_foveated(scene: PrimitiveScene, camera: Camera,
     return out
 
 
+def _resolve_primary(primary_impl: str, scene, aperture: float = 0.0) -> str:
+    """primary_impl="auto" → "binned" whenever the screen-tile cast
+    applies (shared ray origin, no any-hit cutouts, a triangle scene),
+    else "block". Binned measured 1.5-2.8x faster than block traversal on
+    the reference OBJ scenes (tools/tri_bench.py, v5e 2026-08-18:
+    trees_and_grass 5.5 vs 8.3 ms, blender_2_77 29.8 vs 83.0 ms)."""
+    if primary_impl != "auto":
+        return primary_impl
+    ok = (aperture == 0.0 and scene.alpha_textures is None
+          and int(scene.tri_v0.shape[0]) > 0)
+    return "binned" if ok else "block"
+
+
 def _binned_primary(scene, camera, cfg, dirn, tri_max_pairs, interpret,
                     span_exact: bool = False):
     """Build + run the screen-tile primary cast for one camera bundle;
@@ -718,7 +732,7 @@ def _binned_primary(scene, camera, cfg, dirn, tri_max_pairs, interpret,
 
 def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
                        cfg: RenderConfig, light_pos, light_radius=0.5,
-                       seed: int = 0, primary_impl: str = "block",
+                       seed: int = 0, primary_impl: str = "auto",
                        tri_max_pairs: int = 1 << 20,
                        tri_span_exact: bool = False,
                        interpret: bool | None = None):
@@ -729,6 +743,7 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
     H, W = camera.height, camera.width
     key = jax.random.PRNGKey(seed)
     orig, dirn = generate_camera_rays(key, camera, cfg)
+    primary_impl = _resolve_primary(primary_impl, scene)
     t, n, mat, hit, _ = _closest_hit(
         scene, orig, dirn, cfg.t_min, cfg.t_max,
         tri_override=_binned_primary(scene, camera, cfg, dirn,
@@ -769,7 +784,7 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
 def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
                              cfg: RenderConfig, seed: int = 0,
                              ao_radius: float = 2.0,
-                             primary_impl: str = "block",
+                             primary_impl: str = "auto",
                              tri_max_pairs: int = 1 << 20,
                              tri_span_exact: bool = False,
                              interpret: bool | None = None):
@@ -782,6 +797,7 @@ def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
     H, W = camera.height, camera.width
     key = jax.random.PRNGKey(seed)
     orig, dirn = generate_camera_rays(key, camera, cfg)
+    primary_impl = _resolve_primary(primary_impl, scene)
     t, n, mat, hit, _ = _closest_hit(
         scene, orig, dirn, cfg.t_min, cfg.t_max,
         tri_override=_binned_primary(scene, camera, cfg, dirn,

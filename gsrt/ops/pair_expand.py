@@ -159,6 +159,16 @@ def _merge_rank(base: jnp.ndarray, mp: int, n: int) -> jnp.ndarray:
     return jnp.clip(p2[:mp] & ((1 << 30) - 1), 0, n - 1).astype(jnp.int32)
 
 
+def _base_window_cols(window: int) -> int:
+    """Lane width of the fused kernel's transposed-base VMEM window: the
+    logical need is window//128 + 3 columns at an arbitrary origin, but
+    Mosaic lane slices must be 128-aligned with 128-multiple shapes — so
+    the window floors to an aligned origin (adding up to 127 columns of
+    skew) and rounds the total up to a lane tile."""
+    need = window // 128 + 3 + 127
+    return -(-need // 128) * 128
+
+
 def _expand_fused_kernel(
     # scalar prefetch
     coarse_ref,            # [TP + 2] int32: s at pair (i-1)*128 (entry 0
@@ -197,19 +207,25 @@ def _expand_fused_kernel(
     ng = pl.num_programs(0)
     C, W = chunk, window
     TILES = W // 128           # prefix tile + C/128 chunk tiles
+    BCOLS = _base_window_cols(W)
 
     def dma_t(slot, gi):
         col = pl.multiple_of(src_start_ref[gi], 128)
         return pltpu.make_async_copy(
             tabf_hbm.at[:, pl.ds(col, W)], tbuf.at[slot], sem.at[slot, 0])
 
-    def dma_b(slot, gi):
+    def _bcol0(gi):
         # transposed-base columns covering table cols
         # [col - 128, col + W + 256): one column earlier for the prefix
-        # tile's candidates, a spare at the end for strip overreach
-        bs = jnp.maximum(src_start_ref[gi] // 128 - 1, 0)
+        # tile's candidates, spares at the end for strip overreach. Mosaic
+        # lane slices must be 128-aligned with 128-multiple shapes, so the
+        # window floors to the enclosing BCOLS-wide aligned block.
+        col_lo = jnp.maximum(src_start_ref[gi] // 128 - 1, 0)
+        return pl.multiple_of((col_lo // 128) * 128, 128)
+
+    def dma_b(slot, gi):
         return pltpu.make_async_copy(
-            baset_hbm.at[:, pl.ds(bs, W // 128 + 3)],
+            baset_hbm.at[:, pl.ds(_bcol0(gi), BCOLS)],
             bbuf.at[slot], sem.at[slot, 1])
 
     @pl.when(g == 0)
@@ -228,8 +244,8 @@ def _expand_fused_kernel(
     dma_b(slot, g).wait()
 
     col0 = src_start_ref[g]
-    bstart = jnp.maximum(col0 // 128 - 1, 0)
-    bw = bbuf[slot]                                  # (128, BW)
+    bstart = _bcol0(g)                               # aligned window origin
+    bw = bbuf[slot]                                  # (128, BCOLS)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def tile_body(t, _):
@@ -244,9 +260,14 @@ def _expand_fused_kernel(
         # unit-step invariant that real lanes read through
         cb = (s_t - bstart * 128) // 128
         cb = jnp.clip(cb, 0, bw.shape[1] - 2)
+        # column select by masked lane-sum: Mosaic has no dynamic_slice on
+        # values, but exactly one lane matches each scalar column id, so a
+        # where+reduce pulls the column (two (128, BW) VPU reductions)
+        colid = jax.lax.broadcasted_iota(jnp.int32, (1, bw.shape[1]), 1)
         strip = jax.lax.concatenate(
-            [jax.lax.dynamic_slice_in_dim(bw, cb, 1, axis=1),
-             jax.lax.dynamic_slice_in_dim(bw, cb + 1, 1, axis=1)],
+            [jnp.sum(jnp.where(colid == cb, bw, 0), axis=1, keepdims=True),
+             jnp.sum(jnp.where(colid == cb + 1, bw, 0), axis=1,
+                     keepdims=True)],
             0)                                       # (256, 1)
         p_lane = p_t + lane128                       # (1, 128)
         cnt = jnp.sum(((strip > p_t) & (strip <= p_lane)
@@ -384,7 +405,7 @@ def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     # transpose so strips load sublane-major in the kernel (cheap here,
     # a relayout nightmare in Mosaic). +3 spare columns for strip/window
     # overreach past the last real splat.
-    bt_cols = n_tot // 128 + 3
+    bt_cols = n_tot // 128 + _base_window_cols(W)
     base_pad = jnp.full((bt_cols * 128,), mp_pad, jnp.int32)
     base_pad = jax.lax.dynamic_update_slice_in_dim(base_pad, base_c, 0, 0)
     baset = base_pad.reshape(bt_cols, 128).T         # [128, bt_cols]
@@ -414,7 +435,7 @@ def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
                                index_map=lambda g, c, ss: (0, g)),
         scratch_shapes=[
             pltpu.VMEM((2, rows, W), jnp.float32),
-            pltpu.VMEM((2, 128, W // 128 + 3), jnp.int32),
+            pltpu.VMEM((2, 128, _base_window_cols(W)), jnp.int32),
             pltpu.VMEM((1, W), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

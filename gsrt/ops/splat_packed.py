@@ -55,7 +55,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsrt.ops.splat_pallas import _exp_neg_lut
-from gsrt.ops.tile_binning import (COMPACT_WIDTH, MEAN_COARSE_BIAS,
+from gsrt.ops.tile_binning import (COMPACT_STORE, COMPACT_WIDTH,
+                                   MEAN_COARSE_BIAS,
                                    MEAN_COARSE_SCALE, MEAN_FINE_BIAS,
                                    MEAN_FINE_SCALE, PACK_RANGE,
                                    PAYLOAD_WIDTH, TileBinning, tile_extent)
@@ -385,7 +386,7 @@ def blend_packed(
     assert win % 128 == 0, "subtile pixel count must be a multiple of 128"
     assert bs % 8 == 0, "Mosaic output blocks need sublane dims % 8 == 0"
     compact = binning.payload.dtype == jnp.int32
-    p_width = COMPACT_WIDTH if compact else PAYLOAD_WIDTH
+    p_width = COMPACT_STORE if compact else PAYLOAD_WIDTH
     p_dtype = jnp.int32 if compact else jnp.float32
     ntx, nty = tile_extent(width, height, sub_w, sub_h)
     T = ntx * nty

@@ -79,6 +79,12 @@ _PACK_BIAS = jnp.int32(1 << 30)
 # Measured on the parity test scene: max color error 6e-3, mean 2e-4 —
 # a documented fast tier, not the bit-parity path (the f32 payload).
 COMPACT_WIDTH = 6
+# Stored HBM rows: Mosaic HBM->VMEM DMAs slice whole sublane tiles, so a
+# 6-row slice from a (8,128)-tiled memref is illegal ("Slice shape along
+# dimension 0 must be aligned to tiling (8)" on real TPU). The payload is
+# therefore STORED with 2 zero pad rows; the tile sort still carries only
+# the 6 live rows.
+COMPACT_STORE = 8
 MEAN_FINE_SCALE = 256.0    # 1/256 px quantization …
 MEAN_FINE_BIAS = 64.0      # … over [-64, +64) px
 MEAN_COARSE_SCALE = 8.0    # 1/8 px quantization …
@@ -789,13 +795,15 @@ def _finish_compact(
     # row keeps the T sentinel ---
     dead = tile_s >= T
     pad = chunk + 128
+    zeros_row = jnp.zeros_like(tile_s)
     payload = jnp.stack(
         [jnp.where(dead, 0, f) for f in feats_i]
-        + [jnp.minimum(tile_s, T)], axis=0)              # [6, MP]
+        + [jnp.minimum(tile_s, T)]
+        + [zeros_row] * (COMPACT_STORE - COMPACT_WIDTH), axis=0)  # [8, MP]
     tail = jnp.where(
-        jnp.arange(COMPACT_WIDTH)[:, None] == COMPACT_WIDTH - 1,
-        jnp.full((COMPACT_WIDTH, pad), T, jnp.int32),
-        jnp.zeros((COMPACT_WIDTH, pad), jnp.int32))
+        jnp.arange(COMPACT_STORE)[:, None] == COMPACT_WIDTH - 1,
+        jnp.full((COMPACT_STORE, pad), T, jnp.int32),
+        jnp.zeros((COMPACT_STORE, pad), jnp.int32))
     payload = jnp.concatenate([payload, tail], axis=1)
 
     return TileBinning(

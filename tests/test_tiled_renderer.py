@@ -28,7 +28,10 @@ def _render_tiled_interp(cloud, camera, cfg, max_pairs):
 @pytest.mark.parametrize("seed,n", [(3, 120)])
 def test_tiled_matches_fast(seed, n):
     cloud, camera = random_cloud(n, seed=seed, width=128, height=32)
-    cfg = RenderConfig(width=128, height=32, conic_mode="standard")
+    # payload="f32": bit-parity tier (the compact default is a ~4e-3
+    # fast tier — covered by test_tiled_default_tier_close_to_fast)
+    cfg = RenderConfig(width=128, height=32, conic_mode="standard",
+                       payload="f32")
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 15)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
@@ -39,10 +42,28 @@ def test_tiled_matches_fast(seed, n):
                                rtol=1e-3, atol=4e-4)
 
 
+def test_tiled_default_tier_close_to_fast():
+    """The DEFAULT RenderConfig selects the compact payload + logmm scan
+    fast tier; it must stay within the documented ~6e-3 bound of the
+    exact render_fast image (tile_binning.py compact layout comment)."""
+    cloud, camera = random_cloud(150, seed=4, width=128, height=32)
+    cfg = RenderConfig(width=128, height=32, conic_mode="standard")
+    assert cfg.payload == "compact" and cfg.scan_impl == "logmm"
+    a = render_fast(cloud, camera, cfg)
+    b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 15)
+    np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
+                               atol=8e-3)
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               atol=8e-3)
+
+
 def test_tiled_reference_conic_mode():
     """The tiled path must also reproduce the reference's quirk conic."""
     cloud, camera = demo_gauss_splat(width=128, height=16)
-    cfg = RenderConfig(width=128, height=16, conic_mode="reference")
+    # payload="f32": this asserts the bit-parity tier (compact, the
+    # default, is a documented ~4e-3 fast tier with its own test)
+    cfg = RenderConfig(width=128, height=16, conic_mode="reference",
+                       payload="f32")
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 12)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
@@ -131,7 +152,8 @@ def test_overflow_recalibrates_and_matches_fast():
     from gsrt.models.gaussian_rt import GaussianRayTracer
 
     cloud, camera = random_cloud(150, seed=9, width=128, height=32)
-    cfg = RenderConfig(width=128, height=32, conic_mode="standard")
+    cfg = RenderConfig(width=128, height=32, conic_mode="standard",
+                       payload="f32")
     # a stale calibration too small for this view (as after a camera zoom)
     rt = GaussianRayTracer(cfg, "tiled", max_pairs=128, interpret=True)
     out = rt(cloud, camera)
@@ -161,7 +183,7 @@ def test_tiled_lut_mode_matches_fast_lut():
     render_fast's LUT path (VERDICT round-1 item 10)."""
     cloud, camera = random_cloud(250, seed=7, width=64, height=48)
     cfg = RenderConfig(width=64, height=48, conic_mode="standard",
-                       use_exp_lut=True)
+                       use_exp_lut=True, payload="f32")
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 13)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
@@ -170,7 +192,7 @@ def test_tiled_lut_mode_matches_fast_lut():
                                atol=5e-4)
     # and the LUT image must actually DIFFER from exact-exp (same scene)
     cfg2 = RenderConfig(width=64, height=48, conic_mode="standard",
-                        use_exp_lut=False)
+                        use_exp_lut=False, payload="f32")
     c = _render_tiled_interp(cloud, camera, cfg2, max_pairs=1 << 13)
     assert float(np.abs(np.asarray(b.trans) - np.asarray(c.trans)).max()) \
         > 1e-5

@@ -24,14 +24,24 @@ from gsrt.models import GaussianRayTracer
 from gsrt.models.gaussian_rt import render_fast
 from gsrt.scene import random_cloud
 cloud, camera = random_cloud(300, seed=3, width=64, height=48)
-cfg = RenderConfig(width=64, height=48, conic_mode="standard")
+# f32: the bit-parity tier (validates split-bf16 MXU numerics on real HW)
+cfg = RenderConfig(width=64, height=48, conic_mode="standard",
+                   payload="f32")
 a = render_fast(cloud, camera, cfg)
 b = GaussianRayTracer(cfg, "tiled")(cloud, camera)
 d = float(np.abs(np.asarray(a.trans) - np.asarray(b.trans)).max())
 dc = float(np.abs(np.asarray(a.color) - np.asarray(b.color)).max())
 assert d < 5e-4, f"trans parity {d}"
 assert dc < 1e-3, f"color parity {dc}"
-print(f"OK trans_err={d:.2e} color_err={dc:.2e}")
+# the DEFAULT config is the compact+logmm fast tier: documented ~6e-3
+cfg2 = RenderConfig(width=64, height=48, conic_mode="standard")
+c = GaussianRayTracer(cfg2, "tiled")(cloud, camera)
+d2 = float(np.abs(np.asarray(a.trans) - np.asarray(c.trans)).max())
+dc2 = float(np.abs(np.asarray(a.color) - np.asarray(c.color)).max())
+assert d2 < 8e-3, f"compact-tier trans parity {d2}"
+assert dc2 < 8e-3, f"compact-tier color parity {dc2}"
+print(f"OK trans_err={d:.2e} color_err={dc:.2e} "
+      f"compact_err={max(d2, dc2):.2e}")
 """,
     "repeat_execution": """
 import functools, jax
