@@ -293,7 +293,19 @@ def cmd_bench(args) -> int:
             ("AO", lambda: render_ambient_occlusion(scene, camera, cfg,
                                                     **pk)),
         ]:
-            np.asarray(fn())          # compile + warm
+            # jit the whole workload: eager dispatch pays the axon
+            # tunnel's per-op round-trip thousands of times per frame
+            # (measured 7.5 s/frame eager vs ms-scale jitted on
+            # trees_and_grass PT @128x128)
+            import jax
+            try:
+                fnj = jax.jit(fn)
+                np.asarray(fnj())     # compile + warm
+                fn = fnj
+            except Exception as e:    # host-side code in some path
+                print(f"note: {sname}/{wname} falls back to eager "
+                      f"({type(e).__name__})", file=sys.stderr)
+                np.asarray(fn())      # warm caches at least
             t0 = time.perf_counter()
             np.asarray(fn())
             dt = time.perf_counter() - t0
