@@ -163,27 +163,35 @@ def cmd_pt(args) -> int:
         print("note: binned primary unavailable for this scene "
               "(no triangles, alpha cutouts, or aperture > 0) — "
               "using the block path", file=sys.stderr)
-    t0 = time.perf_counter()
     if args.shader_type == "path":
-        img = render_path_traced(scene, camera, cfg,
-                                 aperture=extra["aperture"],
-                                 focus=extra["focus"], **pk)
+        fn = lambda s, c: render_path_traced(s, c, cfg,
+                                             aperture=extra["aperture"],
+                                             focus=extra["focus"], **pk)
     elif args.shader_type == "shadow":
-        img = render_shadow_rays(scene, camera, cfg,
-                                 light_pos=(278, 554, -279)
-                                 if args.scene == "cornell" else (0, 5, 2),
-                                 **pk)
+        fn = lambda s, c: render_shadow_rays(
+            s, c, cfg,
+            light_pos=(278, 554, -279)
+            if args.scene == "cornell" else (0, 5, 2), **pk)
     elif args.shader_type == "ao":
-        img = render_ambient_occlusion(scene, camera, cfg, **pk)
+        fn = lambda s, c: render_ambient_occlusion(s, c, cfg, **pk)
     elif args.shader_type == "foveated":
         from gsrt.models.path_tracer import render_foveated
-        img = render_foveated(scene, camera, cfg,
-                              aperture=extra["aperture"],
-                              focus=extra["focus"])
+        fn = lambda s, c: render_foveated(s, c, cfg,
+                                          aperture=extra["aperture"],
+                                          focus=extra["focus"])
     else:
         print(f"unknown shader type {args.shader_type}", file=sys.stderr)
         return 2
-    img = np.asarray(img)
+    # jit the whole frame with the scene as a pytree argument: eager
+    # per-op dispatch pays the tunnel round-trip thousands of times, and
+    # no-arg closures make XLA constant-fold the mesh (see cmd_bench)
+    import jax
+    t0 = time.perf_counter()
+    try:
+        img = np.asarray(jax.jit(fn)(scene, camera))
+    except Exception as e:
+        print(f"note: eager fallback ({type(e).__name__})", file=sys.stderr)
+        img = np.asarray(fn(scene, camera))
     dt = time.perf_counter() - t0
     rays = args.width * args.height * args.samples
     print(f"{dt * 1e3:.1f} ms  {rays / dt / 1e6:.2f} Mrays/s "
@@ -285,29 +293,30 @@ def cmd_bench(args) -> int:
             stats["candidates_per_pixel"] = round(
                 need / (args.width * args.height), 2)
         for wname, fn in [
-            ("PT", lambda: render_path_traced(scene, camera, cfg, **pk)),
-            ("SH", lambda: render_shadow_rays(
-                scene, camera, cfg,
+            ("PT", lambda s, c: render_path_traced(s, c, cfg, **pk)),
+            ("SH", lambda s, c: render_shadow_rays(
+                s, c, cfg,
                 light_pos=(278, 554, -279) if sname == "cornell"
                 else (0, 5, 2), **pk)),
-            ("AO", lambda: render_ambient_occlusion(scene, camera, cfg,
-                                                    **pk)),
+            ("AO", lambda s, c: render_ambient_occlusion(s, c, cfg, **pk)),
         ]:
-            # jit the whole workload: eager dispatch pays the axon
-            # tunnel's per-op round-trip thousands of times per frame
-            # (measured 7.5 s/frame eager vs ms-scale jitted on
-            # trees_and_grass PT @128x128)
+            # jit the whole workload with the scene as a pytree ARGUMENT:
+            # eager dispatch pays the axon tunnel's per-op round-trip
+            # thousands of times per frame (measured 7.5 s/frame eager vs
+            # ms-scale jitted on trees_and_grass PT @128x128), and no-arg
+            # closures embed the mesh as constants, which XLA then
+            # constant-folds at compile time (minutes on big scenes)
             import jax
             try:
                 fnj = jax.jit(fn)
-                np.asarray(fnj())     # compile + warm
+                np.asarray(fnj(scene, camera))   # compile + warm
                 fn = fnj
             except Exception as e:    # host-side code in some path
                 print(f"note: {sname}/{wname} falls back to eager "
                       f"({type(e).__name__})", file=sys.stderr)
-                np.asarray(fn())      # warm caches at least
+                np.asarray(fn(scene, camera))    # warm caches at least
             t0 = time.perf_counter()
-            np.asarray(fn())
+            np.asarray(fn(scene, camera))
             dt = time.perf_counter() - t0
             rec = {"scene": sname, "workload": wname,
                    "width": args.width, "height": args.height,
