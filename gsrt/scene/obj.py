@@ -190,7 +190,11 @@ def _parse_obj(path: str, atlas: _TextureAtlas, mat_rows: List[tuple],
             elif tok[0] == "mtllib":
                 mtl.update(_parse_mtl(os.path.join(base, " ".join(tok[1:]))))
             elif tok[0] == "usemtl":
-                cur_mat = intern(tok[1])
+                # reference data contains BARE `usemtl` lines with no name
+                # (Blender_2.83/_scaffold_000.obj, Blender_2.91/Mesh_001.obj)
+                # — tinyobjloader reads an empty name there; treat it as
+                # the default material instead of crashing
+                cur_mat = intern(tok[1] if len(tok) > 1 else "__default__")
             elif tok[0] == "f":
                 vi, ti = [], []
                 for t in tok[1:]:

@@ -53,3 +53,17 @@ def test_load_reference_camera_file():
     eye, center = load_camera_file(path)
     assert len(eye) == 3 and len(center) == 3
     assert all(np.isfinite(v) for v in eye + center)
+
+
+def test_bare_usemtl_line_parses():
+    """Reference Scenes data contains nameless `usemtl` lines
+    (Blender_2.83/_scaffold_000.obj) — must fall back to the default
+    material, not crash (regression: IndexError on tok[1])."""
+    import tempfile
+    from gsrt.scene.obj import load_obj
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "bare.obj")
+        with open(p, "w") as f:
+            f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nusemtl\nf 1 2 3\n")
+        s = load_obj(p)
+        assert int(s.tri_v0.shape[0]) == 1
