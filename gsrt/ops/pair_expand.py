@@ -260,15 +260,17 @@ def _expand_fused_kernel(
         # unit-step invariant that real lanes read through
         cb = (s_t - bstart * 128) // 128
         cb = jnp.clip(cb, 0, bw.shape[1] - 2)
-        # column select by masked lane-sum: Mosaic has no dynamic_slice on
-        # values, but exactly one lane matches each scalar column id, so a
-        # where+reduce pulls the column (two (128, BW) VPU reductions)
-        colid = jax.lax.broadcasted_iota(jnp.int32, (1, bw.shape[1]), 1)
+        # column select: Mosaic has no dynamic_slice on values; a dynamic
+        # lane ROTATE brings columns (cb, cb+1) to lanes (0, 1), then two
+        # static 1-lane slices read them — far cheaper than the earlier
+        # masked lane-sum form (two full (128, BW) where+reduce passes
+        # per tile)
+        # roll semantics: out[i] = in[(i - shift) mod n]; lane 0 <- col cb
+        # needs shift = -cb, expressed non-negatively as (n - cb) mod n
+        rot = pltpu.roll(bw, shift=jax.lax.rem(bw.shape[1] - cb,
+                                               bw.shape[1]), axis=1)
         strip = jax.lax.concatenate(
-            [jnp.sum(jnp.where(colid == cb, bw, 0), axis=1, keepdims=True),
-             jnp.sum(jnp.where(colid == cb + 1, bw, 0), axis=1,
-                     keepdims=True)],
-            0)                                       # (256, 1)
+            [rot[:, 0:1], rot[:, 1:2]], 0)           # (256, 1)
         p_lane = p_t + lane128                       # (1, 128)
         cnt = jnp.sum(((strip > p_t) & (strip <= p_lane)
                        ).astype(jnp.int32), axis=0, keepdims=True)
