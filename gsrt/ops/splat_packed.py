@@ -55,7 +55,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsrt.ops.splat_pallas import _exp_neg_lut
-from gsrt.ops.tile_binning import (COMPACT_STORE, COMPACT_WIDTH,
+from gsrt.ops.tile_binning import (COLOR8_COARSE, COLOR8_FINE,
+                                   COMPACT_STORE, COMPACT_WIDTH,
                                    MEAN_COARSE_BIAS,
                                    MEAN_COARSE_SCALE, MEAN_FINE_BIAS,
                                    MEAN_FINE_SCALE, PACK_RANGE,
@@ -220,11 +221,22 @@ def _blend_packed_kernel(
                 l21 = pltpu.bitcast(w1 << 16, jnp.float32)
                 l22 = pltpu.bitcast(pay_i_all[2:3, :] & jnp.int32(-65536),
                                     jnp.float32)
-                rg = pay_i_all[3:4, :]
-                bo = pay_i_all[4:5, :]
                 # mean is TILE-relative: the tile-origin term cancels
                 dx = xloc - mean_x                     # (win, LANES)
                 dy = yloc - mean_y
+                # rgba8888: two-tier 8-bit colors + u8 opacity
+                # (tile_binning.pack_rgba8)
+                w3 = pay_i_all[3:4, :]
+
+                def color8(shift):
+                    c8 = (w3 >> shift) & 0xFF
+                    mag = (c8 & 0x7F).astype(jnp.float32)
+                    return jnp.where((c8 & 0x80) != 0,
+                                     1.0 + mag * COLOR8_COARSE,
+                                     mag * COLOR8_FINE)
+
+                cr, cg, cb = color8(24), color8(16), color8(8)
+                op = (w3 & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
             else:
                 ox = ((s_tile % ntx) * sub_w).astype(jnp.float32)
                 oy = ((s_tile // ntx) * sub_h).astype(jnp.float32)
@@ -237,10 +249,10 @@ def _blend_packed_kernel(
                 bo = pay_i_all[6:7, :]
                 dx = (xloc + ox) - mean_x              # (win, LANES)
                 dy = (yloc + oy) - mean_y
-            cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
-            cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
-            cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
-            op = (bo & 0x7FFF).astype(jnp.float32) * inv_q
+                cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+                cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
+                cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
+                op = (bo & 0x7FFF).astype(jnp.float32) * inv_q
             if compact:
                 t1 = l11 * dx + l21 * dy
                 t2 = l22 * dy

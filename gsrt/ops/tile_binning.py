@@ -54,11 +54,11 @@ N_FEATURES = 7
 PACK_RANGE = 4.0
 _PACK_BIAS = jnp.int32(1 << 30)
 
-# --- compact payload (int32-typed, 6 rows; splat_packed compact mode) ---
+# --- compact payload (int32-typed, 5 rows; splat_packed compact mode) ---
 # rows: 0 mean (2 x u16 fixed point, TILE-relative, 1/MEAN_SCALE px,
 #       biased by MEAN_BIAS)   1 chol.l11|chol.l21 (2 x bf16)
-#       2 chol.l22|camera-depth (2 x bf16)   3 pack15(r, g)
-#       4 pack15(b, opacity)   5 tile id
+#       2 chol.l22|camera-depth (2 x bf16)   3 rgba8888 (two-tier 8-bit
+#       color x3 + u8 opacity, pack_rgba8 below)   4 tile id
 # The conic rides as its CHOLESKY factors, g = ((l11·dx + l21·dy)² +
 # (l22·dy)²)/2, NOT as (qa, qb, qc): in the direct quadratic form the
 # three bf16 rounding errors hit terms that mutually cancel for
@@ -78,12 +78,12 @@ _PACK_BIAS = jnp.int32(1 << 30)
 # 1/512-px rounding bounds δg ≈ 0.007 even for sub-2-px splats.
 # Measured on the parity test scene: max color error 6e-3, mean 2e-4 —
 # a documented fast tier, not the bit-parity path (the f32 payload).
-COMPACT_WIDTH = 6
+COMPACT_WIDTH = 5
 # Stored HBM rows: Mosaic HBM->VMEM DMAs slice whole sublane tiles, so a
-# 6-row slice from a (8,128)-tiled memref is illegal ("Slice shape along
+# 5-row slice from a (8,128)-tiled memref is illegal ("Slice shape along
 # dimension 0 must be aligned to tiling (8)" on real TPU). The payload is
-# therefore STORED with 2 zero pad rows; the tile sort still carries only
-# the 6 live rows.
+# therefore STORED with 3 zero pad rows; the tile sort still carries only
+# the 5 live rows.
 COMPACT_STORE = 8
 MEAN_FINE_SCALE = 256.0    # 1/256 px quantization …
 MEAN_FINE_BIAS = 64.0      # … over [-64, +64) px
@@ -92,6 +92,33 @@ MEAN_COARSE_BIAS = 2048.0  # … over [-2048, +2048) px (clamps beyond; a
                            # touched tile >2 Kpx from its splat's mean
                            # needs a >4000-px footprint — gated by the
                            # ntx ≤ 127 compact-mode limit)
+
+# 8-bit two-tier color channel (pack_rgba8): bit 7 = 0 → fine, value =
+# mag/127 over [0, 1] (half-step err ≤ 1/254 ≈ 3.9e-3 — the LDR case);
+# bit 7 = 1 → coarse, value = 1 + mag·3/127 over (1, PACK_RANGE] (err ≤
+# 3/254 ≈ 1.2e-2, HDR colors only). Opacity is plain u8/255 (err ≤ 2e-3,
+# against the 1/255 alpha threshold). One int32 carries all four channels
+# so the tile sort drops from 6 to 5 operands (the sort scales per
+# operand) — this is the reference framebuffer's 8-bit color granularity
+# (lumibench output), a documented fast-tier trade; the f32 payload
+# remains the bit-parity path.
+COLOR8_FINE = 1.0 / 127.0
+COLOR8_COARSE = 3.0 / 127.0
+
+
+def _pack_color8(c):
+    fine = jnp.clip(jnp.round(c * 127.0), 0, 127).astype(jnp.int32)
+    coarse = jnp.clip(jnp.round((c - 1.0) * (127.0 / 3.0)),
+                      0, 127).astype(jnp.int32) | 0x80
+    return jnp.where(c <= 1.0, fine, coarse)
+
+
+def pack_rgba8(r, g, b, o):
+    """Three two-tier 8-bit colors + u8 opacity → one int32
+    (r<<24 | g<<16 | b<<8 | o)."""
+    oi = jnp.clip(jnp.round(o * 255.0), 0, 255).astype(jnp.int32)
+    return ((_pack_color8(r) << 24) | (_pack_color8(g) << 16)
+            | (_pack_color8(b) << 8) | oi)
 
 
 def pack15(x, y):
@@ -656,10 +683,18 @@ def _build_ellipse(
         l22 = jnp.sqrt(jnp.maximum(qc_r - l21 * l21, 1e-12))
         qab = pack_bf16_pair(l11, l21)
         qcd = pack_bf16_pair(l22, jnp.where(rvalid, depth_r, 0.0))
+        # re-quantize the pack15 color words (which rode the level-0/1
+        # machinery for the f32 finish) to the rgba8888 payload word
+        inv_q15 = PACK_RANGE / 32767.0
+        rgi = jax.lax.bitcast_convert_type(rgp_r, jnp.int32)
+        boi = jax.lax.bitcast_convert_type(bop_r, jnp.int32)
+        rgba = pack_rgba8(((rgi >> 15) & 0x7FFF).astype(jnp.float32)
+                          * inv_q15,
+                          (rgi & 0x7FFF).astype(jnp.float32) * inv_q15,
+                          ((boi >> 15) & 0x7FFF).astype(jnp.float32)
+                          * inv_q15, op_r)
         return _finish_compact(
-            tx0, ty, w_span, span, base, mx, my, qab, qcd,
-            jax.lax.bitcast_convert_type(rgp_r, jnp.int32),
-            jax.lax.bitcast_convert_type(bop_r, jnp.int32),
+            tx0, ty, w_span, span, base, mx, my, qab, qcd, rgba,
             counts=counts, tile_start=tile_start, total=total,
             overflow=overflow, ntx=ntx, T=T, tile_w=tile_w, tile_h=tile_h,
             chunk=chunk, max_pairs=max_pairs, expand_impl=expand_impl,
@@ -684,11 +719,12 @@ def _build_compact(
     every packed word rides int32 (see COMPACT_WIDTH layout above).
 
     Wins over the f32 path (all stages scale with operand/row count):
-      * depth carry-sort: 9 operands (qa|qb and qc|depth pre-packed);
+      * depth carry-sort: 8 operands (qa|qb, qc|depth and rgba8888
+        pre-packed);
       * expand table: exactly 8 rows (x-span packed into the xy0 word) —
         half the 16-row f32 table;
-      * tile sort: 6 operands vs 9;
-      * payload: 6 rows vs 8 → 25% less blend-kernel DMA.
+      * tile sort: 5 operands vs 9;
+      * payload: 5 live rows vs 8.
     Camera depth always rides qc's low half, so the serving feedback
     (carry_depth) is free. Requires the packed blend kernel and ntx ≤ 127
     (7-bit x-span); with_ids (the VJP path) stays on the f32 payload.
@@ -707,11 +743,10 @@ def _build_compact(
     l22 = jnp.sqrt(jnp.maximum(qc_c - l21 * l21, 1e-12))
     qab = pack_bf16_pair(l11, l21)
     qcd = pack_bf16_pair(l22, depth)
-    rgp = jax.lax.bitcast_convert_type(pack15(cr, cg), jnp.int32)
-    bop = jax.lax.bitcast_convert_type(pack15(cb, opacity), jnp.int32)
+    rgba = pack_rgba8(cr, cg, cb, opacity)
     carry = jax.lax.sort((key, xy0, wspan_touch, m2x, m2y, qab, qcd,
-                          rgp, bop), num_keys=1, is_stable=False)
-    (_, xy0, wspan_touch, m2x_s, m2y_s, qab, qcd, rgp, bop) = carry
+                          rgba), num_keys=1, is_stable=False)
+    (_, xy0, wspan_touch, m2x_s, m2y_s, qab, qcd, rgba) = carry
     x0s = xy0 & 0xFFF
     y0s = xy0 >> 12
     w_span = jnp.maximum(wspan_touch >> 20, 1)
@@ -721,7 +756,7 @@ def _build_compact(
     base = jnp.where(touched_s > 0, offsets - touched_s, _DEAD_BASE)
 
     return _finish_compact(
-        x0s, y0s, w_span, touched_s, base, m2x_s, m2y_s, qab, qcd, rgp, bop,
+        x0s, y0s, w_span, touched_s, base, m2x_s, m2y_s, qab, qcd, rgba,
         counts=counts, tile_start=tile_start, total=total, overflow=overflow,
         ntx=ntx, T=T, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
         max_pairs=max_pairs, expand_impl=expand_impl, interpret=interpret,
@@ -729,7 +764,7 @@ def _build_compact(
 
 
 def _finish_compact(
-    x0s, y0s, w_span, touched_s, base, m2x_s, m2y_s, qab, qcd, rgp, bop,
+    x0s, y0s, w_span, touched_s, base, m2x_s, m2y_s, qab, qcd, rgba,
     *, counts, tile_start, total, overflow, ntx, T, tile_w, tile_h, chunk,
     max_pairs, expand_impl, interpret, carry_depth,
 ) -> TileBinning:
@@ -737,12 +772,13 @@ def _finish_compact(
     mode, tile-rows in ellipse mode; see _finish_f32)."""
     # --- expand: ONE 8-row int table (mean stays f32-precise; it is
     # re-based to the pair's tile and quantized only after the tile is
-    # known below) ---
+    # known below; row 7 is pad — Mosaic DMAs whole 8-row sublane tiles,
+    # so 7 live rows cost the same as 8) ---
     xy0ws = x0s | (y0s << 12) | (w_span << 24)
     tab_rows = [xy0ws, base,
                 jax.lax.bitcast_convert_type(m2x_s, jnp.int32),
                 jax.lax.bitcast_convert_type(m2y_s, jnp.int32),
-                qab, qcd, rgp, bop]
+                qab, qcd, rgba, jnp.zeros_like(rgba)]
     if expand_impl in ("pallas", "fused"):
         from gsrt.ops.pair_expand import expand_pairs, expand_pairs_fused
         ep = expand_pairs_fused if expand_impl == "fused" else expand_pairs
@@ -752,13 +788,12 @@ def _finish_compact(
             ep(tabf, base, max_pairs, interpret=interpret),
             jnp.int32)                                       # [8, MP]
         e0, gbase = e[0], e[1]
-        m2xp, m2yp, qabp, qcdp, rgpp, bopp = (e[i] for i in range(2, 8))
+        m2xp, m2yp, qabp, qcdp, rgbap = (e[i] for i in range(2, 7))
     else:
         rows = jnp.repeat(jnp.stack(tab_rows, axis=-1), touched_s, axis=0,
                           total_repeat_length=max_pairs)     # [MP, 8]
         e0, gbase = rows[:, 0], rows[:, 1]
-        m2xp, m2yp, qabp, qcdp, rgpp, bopp = (rows[:, i]
-                                              for i in range(2, 8))
+        m2xp, m2yp, qabp, qcdp, rgbap = (rows[:, i] for i in range(2, 7))
 
     gx0 = e0 & 0xFFF
     gy0 = (e0 >> 12) & 0xFFF
@@ -782,16 +817,16 @@ def _finish_compact(
     # tail reaches it) — drop it instead of mis-decoding
     mean_sat = ((jnp.abs(mx_rel) >= MEAN_COARSE_BIAS - 0.5)
                 | (jnp.abs(my_rel) >= MEAN_COARSE_BIAS - 0.5))
-    bopp = jnp.where(mean_sat, 0, bopp)   # opacity 0 -> inert
+    rgbap = jnp.where(mean_sat, 0, rgbap)   # opacity 0 -> inert
 
-    # --- stable tile sort: 6 int32 operands ---
-    sorted_ops = jax.lax.sort((tile, meanp, qabp, qcdp, rgpp, bopp),
+    # --- stable tile sort: 5 int32 operands ---
+    sorted_ops = jax.lax.sort((tile, meanp, qabp, qcdp, rgbap),
                               num_keys=1, is_stable=True)
     tile_s = sorted_ops[0]
-    feats_i = sorted_ops[1:6]
+    feats_i = sorted_ops[1:5]
     pair_depth_s = unpack_bf16_lo(sorted_ops[3]) if carry_depth else None
 
-    # --- 6-row int32 payload; dead rows zero (opacity 0 → inert), tile
+    # --- 5-row int32 payload; dead rows zero (opacity 0 → inert), tile
     # row keeps the T sentinel ---
     dead = tile_s >= T
     pad = chunk + 128

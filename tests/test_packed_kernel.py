@@ -138,3 +138,37 @@ def test_compact_payload_serving_depth_carry():
     assert int(bc.total_pairs) == n
     # bf16 depth: ~3 decimal digits
     np.testing.assert_allclose(dc, df, rtol=8e-3, atol=1e-3)
+
+
+def test_pack_rgba8_roundtrip():
+    """rgba8888 payload word (tile_binning layout): colors decode two-tier
+    (err ≤ 1/254 on [0,1], ≤ 3/254 on (1,4]), opacity u8 (err ≤ 1/510
+    + rounding), and out-of-range inputs saturate instead of wrapping."""
+    import jax.numpy as jnp
+    from gsrt.ops.tile_binning import (COLOR8_COARSE, COLOR8_FINE,
+                                       PACK_RANGE, pack_rgba8)
+
+    rng = np.random.default_rng(3)
+    c = rng.uniform(0.0, PACK_RANGE, size=(4, 4096)).astype(np.float32)
+    c[3] = rng.uniform(0.0, 1.0, size=4096)          # opacity ∈ [0, 1]
+    w = np.asarray(pack_rgba8(*(jnp.asarray(ch) for ch in c)))
+
+    def dec_color(c8):
+        mag = (c8 & 0x7F).astype(np.float32)
+        return np.where((c8 & 0x80) != 0, 1.0 + mag * COLOR8_COARSE,
+                        mag * COLOR8_FINE)
+
+    for i, shift in enumerate((24, 16, 8)):
+        got = dec_color((w >> shift) & 0xFF)
+        err = np.abs(got - np.minimum(c[i], PACK_RANGE))
+        fine = c[i] <= 1.0
+        assert err[fine].max() <= 1 / 254 + 1e-6
+        assert err[~fine].max() <= 3 / 254 + 1e-6
+    op = (w & 0xFF).astype(np.float32) / 255.0
+    assert np.abs(op - c[3]).max() <= 1 / 510 + 1e-6
+    # saturation: channels above PACK_RANGE clamp to the tier tops
+    w_hot = int(np.asarray(pack_rgba8(jnp.float32(9.0), jnp.float32(-1.0),
+                                      jnp.float32(2.0), jnp.float32(1.5))))
+    assert (w_hot >> 24) & 0xFF == 0xFF      # 9.0 → PACK_RANGE
+    assert (w_hot >> 16) & 0xFF == 0x00      # -1  → 0
+    assert w_hot & 0xFF == 0xFF              # 1.5 → opacity 1

@@ -72,7 +72,11 @@ def test_tiled_reference_conic_mode():
 
 def test_tiled_demo_scene():
     cloud, camera = demo_gauss_splat(width=128, height=16)
-    cfg = RenderConfig(width=128, height=16, conic_mode="standard")
+    # payload="f32": bit-parity tier (the compact default quantizes
+    # opacity to u8 since the rgba8888 payload word — its looser bound is
+    # test_tiled_default_tier_close_to_fast's)
+    cfg = RenderConfig(width=128, height=16, conic_mode="standard",
+                       payload="f32")
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 13)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
