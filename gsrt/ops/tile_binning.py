@@ -585,10 +585,20 @@ def _build_ellipse(
     key = jnp.where(touched > 0, depth, jnp.inf)
     xy0r = x0 | (y0 << 12) | (rows_n << 24)
     wspan_touch = ((x1 - x0 + 1) << 20) | touched
+    if compact:
+        # pack the rgba8888 payload word at SPLAT level from the RAW f32
+        # colors — bit-identical to _build_compact's rect path. (Packing
+        # via the pack15 fast-tier words and re-quantizing shifted 8-bit
+        # codes by one step, ~6e-3, breaking ellipse/rect pair-payload
+        # identity.) Rides the sort as int32: carries through jax.lax.sort
+        # selects must not be denormal-able f32 bit patterns (see pack15).
+        cw1 = pack_rgba8(cr, cg, cb, opacity)
+        cw2 = jnp.zeros_like(cw1)
+    else:
+        cw1, cw2 = pack15(cr, cg), pack15(cb, opacity)
     carry = jax.lax.sort(
         (key, xy0r, wspan_touch, m2x, m2y, qa_c, qb_c, qc_c,
-         pack15(cr, cg), pack15(cb, opacity),
-         jnp.where(touched > 0, opacity, 0.0)),
+         cw1, cw2, jnp.where(touched > 0, opacity, 0.0)),
         num_keys=1, is_stable=False)
     (depth_s, xy0r, wspan_touch, m2x_s, m2y_s, qa_s, qb_s, qc_s, rgp, bop,
      op_s) = carry
@@ -608,8 +618,14 @@ def _build_ellipse(
     # was built to avoid) ---
     bi = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     xgeo = x0s | (x1s << 12) | (y0s << 24)
+    # in compact mode rgp carries the splat-level rgba8888 int32 word and
+    # bop a dead zero column; the expand machinery (gather-only — no float
+    # selects) moves the bitcast words without flushing denormal patterns,
+    # exactly as _finish_compact already relies on
     tab_cols = [bi(xgeo), bi(row_base), m2x_s, m2y_s,
-                qa_s, qb_s, qc_s, op_s, rgp, bop, depth_s]
+                qa_s, qb_s, qc_s, op_s,
+                bi(rgp) if compact else rgp,
+                bi(bop) if compact else bop, depth_s]
     if expand_impl in ("pallas", "fused"):
         from gsrt.ops.pair_expand import expand_pairs, expand_pairs_fused
         ep = expand_pairs_fused if expand_impl == "fused" else expand_pairs
@@ -683,16 +699,10 @@ def _build_ellipse(
         l22 = jnp.sqrt(jnp.maximum(qc_r - l21 * l21, 1e-12))
         qab = pack_bf16_pair(l11, l21)
         qcd = pack_bf16_pair(l22, jnp.where(rvalid, depth_r, 0.0))
-        # re-quantize the pack15 color words (which rode the level-0/1
-        # machinery for the f32 finish) to the rgba8888 payload word
-        inv_q15 = PACK_RANGE / 32767.0
-        rgi = jax.lax.bitcast_convert_type(rgp_r, jnp.int32)
-        boi = jax.lax.bitcast_convert_type(bop_r, jnp.int32)
-        rgba = pack_rgba8(((rgi >> 15) & 0x7FFF).astype(jnp.float32)
-                          * inv_q15,
-                          (rgi & 0x7FFF).astype(jnp.float32) * inv_q15,
-                          ((boi >> 15) & 0x7FFF).astype(jnp.float32)
-                          * inv_q15, op_r)
+        # the rgba8888 word was packed at splat level from the raw f32
+        # colors (carry sort above) and rode the expansion bit-exactly —
+        # identical to _build_compact's rect-path packing
+        rgba = jax.lax.bitcast_convert_type(rgp_r, jnp.int32)
         return _finish_compact(
             tx0, ty, w_span, span, base, mx, my, qab, qcd, rgba,
             counts=counts, tile_start=tile_start, total=total,
