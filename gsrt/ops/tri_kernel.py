@@ -28,9 +28,31 @@ visit counts are the `rt_avg_nodes_per_ray` analogue (gpu-sim.cc:1504).
 Layout: triangles live in a packed table [MS*128, 128] where super-
 cluster s occupies the (128, 128) tile at rows s*128: sublane r = triangle
 r of cluster j, lanes j*16 + f = feature f of cluster j (8 clusters × 16
-features: v0 xyz, e1 xyz, e2 xyz, mat, 6 pad). Triangles therefore sit on
-SUBLANES and rays on LANES — min-reduction over triangles is a cheap
-sublane reduce and the per-ray results write out lane-major.
+features: v0 xyz, e1 xyz, e2 xyz, mat, cluster-AABB min xyz / max xyz).
+Triangles therefore sit on SUBLANES and rays on LANES — min-reduction
+over triangles is a cheap sublane reduce and the per-ray results write
+out lane-major.
+
+Traversal depth (round 3): the flat super-cluster sweep this replaced
+cost bounce bundles a near-linear scan (574 prim tests/ray on
+blender_2_77, PT 11.7 s/frame — docs/lumibench_r2.json). Three
+mechanisms make the walk effectively log-depth, matching the role of the
+reference's per-ray 2-level BVH stack (vulkan_ray_tracing.cc:422-1171)
+without a stack machine:
+
+  * FRONT-TO-BACK visits: plan_visits orders each block's visit list by
+    the block's conservative entry distance into the super-cluster, and
+    the kernel stops as soon as the next entry distance exceeds every
+    ray's current best hit (the wavefront analogue of BVH ordered
+    traversal + node skipping).
+  * PER-CLUSTER cull: the 6 spare feature lanes carry each 128-triangle
+    cluster's AABB; a vectorized slab test over the ray block skips the
+    whole Möller–Trumbore tile when no ray can improve inside it — the
+    second hierarchy level, evaluated in-kernel at ~0.5% of a tile's
+    cost.
+  * ANY-HIT mode (shadow/AO): rays retire at their first accepted hit;
+    the block exits when all rays have one (TraceShadow/TraceAO use
+    gl_RayFlagsTerminateOnFirstHitEXT for the same reason).
 
 Padding triangles duplicate the cluster's last real triangle (harmless
 for closest-hit: duplicate minima tie). The returned index is a slot in
@@ -75,11 +97,14 @@ def build_tri_table(v0, v1, v2, mat) -> TriTable:
 
     g = lambda a: a[order]                          # [M*K, ...] slot-major
     tv0, tv1, tv2 = g(v0), g(v1), g(v2)
+    # lanes 10-15: the cluster's AABB, replicated down the K sublanes —
+    # the kernel's per-cluster slab cull reads it from sublane 0
     feats = jnp.concatenate([
         tv0, tv1 - tv0, tv2 - tv0,
         jax.lax.bitcast_convert_type(mat[order].astype(jnp.int32),
                                      jnp.float32)[:, None],
-        jnp.zeros((m * K, FEAT - 10), jnp.float32),
+        jnp.repeat(clusters.cl_min, K, axis=0),
+        jnp.repeat(clusters.cl_max, K, axis=0),
     ], axis=1)                                      # [M*K, FEAT]
     # [MS, SUP, K, FEAT] -> sublane=triangle, lane=(cluster, feature)
     table = feats.reshape(ms, SUP, K, FEAT).transpose(0, 2, 1, 3)
@@ -91,7 +116,11 @@ def build_tri_table(v0, v1, v2, mat) -> TriTable:
 
 class VisitPlan(NamedTuple):
     block_start: jnp.ndarray  # [B+1] int32 visit offsets per ray block
-    visit: jnp.ndarray        # [MV] int32 super-cluster ids, block-major
+    visit: jnp.ndarray        # [MV] int32 super-cluster ids, block-major,
+                              #      front-to-back within each block
+    visit_near: jnp.ndarray   # [MV] int32 — each visit's conservative
+                              #      entry distance, as the bitcast of a
+                              #      non-negative f32 (order-preserving)
     total: jnp.ndarray        # [] int32 visits before capping
     overflow: jnp.ndarray     # [] bool
 
@@ -201,24 +230,37 @@ def plan_visits(orig, dirn, t_min, t_max, sup_min, sup_max,
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
     block_start = jnp.minimum(block_start, max_visits)
 
+    # Compact into a block-major list, FRONT-TO-BACK within each block:
+    # lexicographic (block, entry-distance) sort. Entry distances are
+    # non-negative f32 bitcast to int32 — a monotone key the kernel can
+    # compare against its running best-t without float SMEM reads.
     flat = mask.reshape(B * ms)
-    big = jnp.int32(1 << 30)
-    keys = jnp.where(flat, jnp.arange(B * ms, dtype=jnp.int32), big)
-    skeys = jax.lax.sort(keys, is_stable=False)
+    inf_i = jnp.int32(0x7F800000)
+    near_f = jnp.clip(jnp.maximum(near_lb, tmin_blk), 0.0, 3.0e38)
+    near_i = jax.lax.bitcast_convert_type(
+        near_f.astype(jnp.float32), jnp.int32).reshape(B * ms)
+    blk = (jnp.arange(B * ms, dtype=jnp.int32) // ms)
+    blk_key = jnp.where(flat, blk, jnp.int32(B))
+    near_key = jnp.where(flat, near_i, inf_i)
+    sup = (jnp.arange(B * ms, dtype=jnp.int32) % ms)
+    _, near_s, sup_s = jax.lax.sort(
+        (blk_key, near_key, sup), num_keys=2, is_stable=False)
     if B * ms >= max_visits:
-        skeys = skeys[:max_visits]
+        near_s = near_s[:max_visits]
+        sup_s = sup_s[:max_visits]
     else:
-        skeys = jnp.pad(skeys, (0, max_visits - B * ms),
-                        constant_values=big)
-    visit = jnp.where(skeys < big, skeys % ms, 0).astype(jnp.int32)
-    return VisitPlan(block_start=block_start, visit=visit,
-                     total=total, overflow=overflow)
+        near_s = jnp.pad(near_s, (0, max_visits - B * ms),
+                         constant_values=inf_i)
+        sup_s = jnp.pad(sup_s, (0, max_visits - B * ms))
+    return VisitPlan(block_start=block_start, visit=sup_s,
+                     visit_near=near_s, total=total, overflow=overflow)
 
 
 def _tri_kernel(
     # scalar prefetch
     block_start_ref,       # [B+1] int32
     visit_ref,             # [MV] int32
+    near_ref,              # [MV] int32 (bitcast non-negative f32)
     # inputs
     table_hbm,             # [MS*K, 128] f32 in HBM
     rays_ref,              # [RAY_ROWS, RB] VMEM block
@@ -226,14 +268,24 @@ def _tri_kernel(
     out_ref,               # [8, RB] VMEM: row 0 t, row 1 idx (bitcast)
     # scratch
     buf,                   # [2, K, 128] VMEM
+    bt_ref,                # [1, RB] VMEM running best t
+    bi_ref,                # [1, RB] VMEM running best slot
     sem,                   # DMA semaphores (2,)
     *,
     rb: int,
+    any_hit: bool,
+    cluster_cull: bool,
 ):
     b = pl.program_id(0)
     v0i = block_start_ref[b]
     v1i = block_start_ref[b + 1]
     nv = v1i - v0i
+    mv = near_ref.shape[0]
+    inf_i = jnp.int32(0x7F800000)
+
+    # scratch persists across grid steps — re-init per block
+    bt_ref[...] = jnp.full((1, rb), jnp.inf)
+    bi_ref[...] = jnp.zeros((1, rb), jnp.int32)
 
     def dma(slot, j):
         c = visit_ref[v0i + j]
@@ -253,12 +305,41 @@ def _tri_kernel(
     dz = rays_ref[5:6, :]
     tmin = rays_ref[6:7, :]
     tmax = rays_ref[7:8, :]
+    # slab-test inverse directions; |d| below eps can't cull reliably, so
+    # substituting eps keeps the test conservative on parallel axes
+    eps = jnp.float32(1e-20)
+    sdx = jnp.where(jnp.abs(dx) < eps, eps, dx)
+    sdy = jnp.where(jnp.abs(dy) < eps, eps, dy)
+    sdz = jnp.where(jnp.abs(dz) < eps, eps, dz)
+    ivx, ivy, ivz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
+
+    def _best_max_i():
+        """Running worst-case best-t across the block, in the bitcast-int
+        order near_ref uses. In any-hit mode a retired ray stops mattering
+        entirely, so its contribution is -inf (ignore it)."""
+        bt = bt_ref[...]
+        if any_hit:
+            bt = jnp.where(jnp.isfinite(bt), -jnp.inf, bt)
+        m = jnp.max(bt, axis=1, keepdims=True)              # (1, 1)
+        m = jnp.maximum(m, 0.0)         # keep the int compare monotone
+        return pltpu.bitcast(m, jnp.int32)[0, 0]
+
+    def _cont(j):
+        """Continue to visit j? Front-to-back ordering makes the entry
+        distance non-decreasing: once it clears every ray's best hit, no
+        later visit can improve (any-hit: once every ray hit, stop)."""
+        nxt = near_ref[jnp.minimum(v0i + j, mv - 1)]
+        return (j < nv) & (nxt < _best_max_i())
 
     def body(state):
-        j, best_t, best_i = state
+        j, _ = state
         slot = jax.lax.rem(j, 2)
+        # decide continuation (and prefetch) from the PRE-update best —
+        # conservative by one visit, but keeps the DMA prefetch ahead of
+        # the compute and guarantees no in-flight copy at loop exit
+        cont = _cont(j + 1)
 
-        @pl.when(j + 1 < nv)
+        @pl.when(cont)
         def _():
             dma(1 - slot, j + 1).start()
 
@@ -267,61 +348,89 @@ def _tri_kernel(
         c = visit_ref[v0i + j]
 
         for cj in range(SUP):
-            f = lambda i: tile[:, cj * FEAT + i:cj * FEAT + i + 1]  # (K, 1)
-            v0x, v0y, v0z = f(0), f(1), f(2)
-            e1x, e1y, e1z = f(3), f(4), f(5)
-            e2x, e2y, e2z = f(6), f(7), f(8)
+            base_l = cj * FEAT
+            f = lambda i: tile[:, base_l + i:base_l + i + 1]    # (K, 1)
 
-            # Möller–Trumbore, (K tris, RB rays); mirrors
-            # mt_ray_triangle_test (vulkan_ray_tracing.cc:1184-1206)
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-            ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
-                  & (u + v <= 1.0) & (t > tmin) & (t < tmax))
-            t = jnp.where(ok, t, jnp.inf)
+            def mt_tile():
+                v0x, v0y, v0z = f(0), f(1), f(2)
+                e1x, e1y, e1z = f(3), f(4), f(5)
+                e2x, e2y, e2z = f(6), f(7), f(8)
 
-            tc = jnp.min(t, axis=0, keepdims=True)              # (1, RB)
-            sub = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-            ic = jnp.min(jnp.where(t <= tc, sub, jnp.int32(K)),
-                         axis=0, keepdims=True)                 # (1, RB)
-            slot_idx = (c * SUP + cj) * K + ic
-            upd = tc < best_t
-            best_t = jnp.where(upd, tc, best_t)
-            best_i = jnp.where(upd, slot_idx, best_i)
+                # Möller–Trumbore, (K tris, RB rays); mirrors
+                # mt_ray_triangle_test (vulkan_ray_tracing.cc:1184-1206)
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (t > tmin) & (t < tmax))
+                t = jnp.where(ok, t, jnp.inf)
 
-        return j + 1, best_t, best_i
+                tc = jnp.min(t, axis=0, keepdims=True)          # (1, RB)
+                sub = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+                ic = jnp.min(jnp.where(t <= tc, sub, jnp.int32(K)),
+                             axis=0, keepdims=True)             # (1, RB)
+                slot_idx = (c * SUP + cj) * K + ic
+                upd = tc < bt_ref[...]
+                bt_ref[...] = jnp.where(upd, tc, bt_ref[...])
+                bi_ref[...] = jnp.where(upd, slot_idx, bi_ref[...])
+
+            if cluster_cull:
+                # second hierarchy level: the cluster's own AABB (lanes
+                # 10-15, sublane 0). Slab-test the whole ray block; a ray
+                # bounds the useful window by its best hit (any-hit:
+                # retired rays bound it to nothing).
+                bt = bt_ref[...]
+                lim = jnp.where(jnp.isfinite(bt), -jnp.inf, tmax) \
+                    if any_hit else jnp.minimum(tmax, bt)
+                l0 = (tile[0, base_l + 10] - ox) * ivx
+                h0 = (tile[0, base_l + 13] - ox) * ivx
+                l1 = (tile[0, base_l + 11] - oy) * ivy
+                h1 = (tile[0, base_l + 14] - oy) * ivy
+                l2 = (tile[0, base_l + 12] - oz) * ivz
+                h2 = (tile[0, base_l + 15] - oz) * ivz
+                t_in = jnp.maximum(
+                    jnp.maximum(jnp.minimum(l0, h0), jnp.minimum(l1, h1)),
+                    jnp.maximum(jnp.minimum(l2, h2), tmin))
+                t_out = jnp.minimum(
+                    jnp.minimum(jnp.maximum(l0, h0), jnp.maximum(l1, h1)),
+                    jnp.minimum(jnp.maximum(l2, h2), lim))
+                pl.when(jnp.any(t_in <= t_out))(mt_tile)
+            else:
+                mt_tile()
+
+        # return the SAME pre-update decision the prefetch used: if cont
+        # is False no DMA was started and the loop exits with none in
+        # flight; recomputing post-update here could strand one
+        return j + 1, cont
 
     def cond(state):
-        return state[0] < nv
+        return state[1]
 
-    inf = jnp.full((1, rb), jnp.inf)
-    zero_i = jnp.zeros((1, rb), jnp.int32)
-    _, best_t, best_i = jax.lax.while_loop(cond, body, (jnp.int32(0),
-                                                        inf, zero_i))
+    jax.lax.while_loop(cond, body, (jnp.int32(0), nv > 0))
 
     row = jax.lax.broadcasted_iota(jnp.int32, (8, rb), 0)
     out_ref[...] = jnp.where(
-        row == 0, jnp.broadcast_to(best_t, (8, rb)),
+        row == 0, jnp.broadcast_to(bt_ref[...], (8, rb)),
         jnp.where(row == 1,
-                  jnp.broadcast_to(pltpu.bitcast(best_i, jnp.float32),
+                  jnp.broadcast_to(pltpu.bitcast(bi_ref[...], jnp.float32),
                                    (8, rb)),
                   0.0))
 
 
 def closest_hit_packed(tt: TriTable, orig, dirn, t_min, t_max,
                        *, rb: int = 512, max_visits: int | None = None,
+                       any_hit: bool = False, cluster_cull: bool = True,
                        interpret: bool | None = None):
     """Bundle closest-hit through the packed cluster table.
 
@@ -330,6 +439,11 @@ def closest_hit_packed(tt: TriTable, orig, dirn, t_min, t_max,
     R is padded internally to a multiple of rb (repeating the last ray).
     interpret=None resolves to True off-TPU (CPU tests run the kernel in
     interpret mode automatically).
+
+    any_hit=True relaxes closest-hit to occlusion semantics (shadow/AO
+    rays, gl_RayFlagsTerminateOnFirstHitEXT): the returned t is still A
+    valid hit in (t_min, t_max) but not necessarily the nearest, and the
+    block retires rays (and exits) as soon as every ray has one.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -368,20 +482,25 @@ def closest_hit_packed(tt: TriTable, orig, dirn, t_min, t_max,
                       dirn[:, 0], dirn[:, 1], dirn[:, 2],
                       tmin_a, tmax_a], axis=0)    # [RAY_ROWS, Rp]
 
-    rays, block_start, visit = jax.lax.optimization_barrier(
-        (rays, plan.block_start, plan.visit))
+    rays, block_start, visit, visit_near = jax.lax.optimization_barrier(
+        (rays, plan.block_start, plan.visit, plan.visit_near))
 
-    kernel = functools.partial(_tri_kernel, rb=rb)
+    kernel = functools.partial(_tri_kernel, rb=rb, any_hit=any_hit,
+                               cluster_cull=cluster_cull)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((RAY_ROWS, rb), index_map=lambda b, bs, vs: (0, b)),
+            pl.BlockSpec((RAY_ROWS, rb),
+                         index_map=lambda b, bs, vs, ns: (0, b)),
         ],
-        out_specs=pl.BlockSpec((8, rb), index_map=lambda b, bs, vs: (b, 0)),
+        out_specs=pl.BlockSpec((8, rb),
+                               index_map=lambda b, bs, vs, ns: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, K, 128), jnp.float32),
+            pltpu.VMEM((1, rb), jnp.float32),
+            pltpu.VMEM((1, rb), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -390,7 +509,7 @@ def closest_hit_packed(tt: TriTable, orig, dirn, t_min, t_max,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * 8, rb), jnp.float32),
         interpret=interpret,
-    )(block_start, visit, tt.table, rays)
+    )(block_start, visit, visit_near, tt.table, rays)
 
     out = out.reshape(B, 8, rb)
     t = out[:, 0, :].reshape(Rp)[:R]

@@ -91,6 +91,71 @@ def test_tri_kernel_visit_culling():
     assert int(plan.total) < ms // 2
 
 
+def _layered_quads(layers, per_side, z0=0.0, dz=1.0, size=4.0):
+    """`layers` parallel z-planes, each tiled with per_side² quads
+    (2 tris each) — a scene where front-to-back early exit must trigger
+    for rays marching down +z."""
+    tris = []
+    step = size / per_side
+    for li in range(layers):
+        z = z0 + li * dz
+        for iy in range(per_side):
+            for ix in range(per_side):
+                x0, y0 = -size / 2 + ix * step, -size / 2 + iy * step
+                x1, y1 = x0 + step, y0 + step
+                tris.append(([x0, y0, z], [x1, y0, z], [x0, y1, z]))
+                tris.append(([x1, y1, z], [x0, y1, z], [x1, y0, z]))
+    a = np.float32(tris)
+    return jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2])
+
+
+def test_tri_kernel_front_to_back_early_exit():
+    """Closest hit through 24 stacked occluding layers: results must match
+    brute force, and the ordered walk must stop after the first layers —
+    visiting far fewer prim tests than the flat sweep would."""
+    v0, v1, v2 = _layered_quads(layers=24, per_side=16)
+    n = v0.shape[0]
+    tt = build_tri_table(v0, v1, v2, jnp.zeros((n,), jnp.int32))
+    rng = np.random.default_rng(7)
+    R = 128
+    o = np.float32([[0, 0, -5]]) + rng.uniform(-0.5, 0.5, (R, 3))
+    d = np.float32([[0, 0, 1]]) + rng.uniform(-0.05, 0.05, (R, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    orig, dirn = jnp.asarray(np.float32(o)), jnp.asarray(np.float32(d))
+    t_k, _, hit, plan = closest_hit_packed(
+        tt, orig, dirn, 1e-3, 1e4, rb=128, interpret=True)
+    t_all, _, _ = ray_triangle(orig, dirn, v0, v1, v2, 1e-3, 1e4)
+    t_ref = np.asarray(jnp.min(t_all, axis=-1))
+    assert np.isfinite(t_ref).all() and np.asarray(hit).all()
+    np.testing.assert_allclose(np.asarray(t_k), t_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_tri_kernel_any_hit_mode():
+    """any_hit=True: hit mask matches brute force exactly; the returned t
+    is a genuine hit in-bounds but not necessarily the nearest."""
+    v0, v1, v2 = _layered_quads(layers=8, per_side=8)
+    n = v0.shape[0]
+    tt = build_tri_table(v0, v1, v2, jnp.zeros((n,), jnp.int32))
+    rng = np.random.default_rng(9)
+    R = 256
+    o = np.float32([[0, 0, -3]]) + rng.uniform(-3, 3, (R, 3))
+    d = rng.normal(size=(R, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    orig, dirn = jnp.asarray(np.float32(o)), jnp.asarray(np.float32(d))
+    t_k, slot, hit, _ = closest_hit_packed(
+        tt, orig, dirn, 1e-3, 50.0, rb=128, any_hit=True, interpret=True)
+    t_all, _, _ = ray_triangle(orig, dirn, v0, v1, v2, 1e-3, 50.0)
+    hit_ref = np.isfinite(np.asarray(jnp.min(t_all, axis=-1)))
+    assert (np.asarray(hit) == hit_ref).all()
+    tk = np.asarray(t_k)[hit_ref]
+    assert ((tk > 1e-3) & (tk < 50.0)).all()
+    # each returned (t, slot) is a real intersection of that triangle
+    tri = np.asarray(tt.order)[np.asarray(slot)][hit_ref]
+    tt_ref = np.asarray(t_all)[hit_ref]
+    t_of_tri = tt_ref[np.arange(tri.shape[0]), tri]
+    np.testing.assert_allclose(tk, t_of_tri, rtol=1e-5, atol=1e-6)
+
+
 def test_path_tracer_integration_tri_table():
     """render_path_traced with the packed table matches the un-accelerated
     render bit-for-bit up to traversal tie-breaks."""
