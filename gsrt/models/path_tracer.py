@@ -176,8 +176,12 @@ def _barycentric(orig, dirn, v0, v1, v2):
 
 
 def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
-                 tri_override=None):
+                 tri_override=None, any_hit=False):
     """Nearest hit across all primitive types.
+
+    any_hit=True relaxes the packed-table triangle traversal to occlusion
+    semantics (first accepted hit, early block exit) — only valid for
+    queries that consume `hit` alone.
 
     Returns (t [R], normal [R,3], mat_id [R], hit [R], uv [R,2] or None).
     uv is the texture coordinate at the hit (triangle texcoords when the
@@ -276,7 +280,8 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
     elif scene.tri_table is not None:
         from gsrt.ops.tri_kernel import closest_hit_packed
         tt = scene.tri_table
-        ti, slot, _, _ = closest_hit_packed(tt, orig, dirn, t_min, t_max)
+        ti, slot, _, _ = closest_hit_packed(tt, orig, dirn, t_min, t_max,
+                                            any_hit=any_hit)
         i = tt.order[slot]
         v0 = scene.tri_v0[i]
         v1 = scene.tri_v1[i]
@@ -390,8 +395,69 @@ def _closest_hit_cutout(scene: PrimitiveScene, orig, dirn, t_min, t_max,
     return bt, bn, bm, bhit & done, (buv if has_uv else None)
 
 
-def _any_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max):
-    """Occlusion query (shadow/AO rays)."""
+def _scene_sort_bounds(scene, gauss_clusters=None):
+    """(lo, hi, park_o, park_d) for coherence sorting, or (None,)*4 when no
+    accelerated geometry is present (sorting only pays where traversal
+    cost depends on bundle coherence). park_o/park_d are the origin and
+    direction retired rays are parked at: a point outside every structure
+    with all rays identical, so fully-dead blocks plan zero visits."""
+    los, his = [], []
+    if scene.tri_table is not None:
+        los.append(scene.tri_table.sup_min.min(0))
+        his.append(scene.tri_table.sup_max.max(0))
+    if gauss_clusters is not None:
+        los.append(gauss_clusters.clusters.sup_min.min(0))
+        his.append(gauss_clusters.clusters.sup_max.max(0))
+    if not los:
+        return None, None, None, None
+    lo = jnp.min(jnp.stack(los), axis=0)
+    hi = jnp.max(jnp.stack(his), axis=0)
+    park_o = hi + (hi - lo) + 1.0
+    park_d = jnp.full((3,), 1.0 / jnp.sqrt(3.0), jnp.float32)
+    return lo, hi, park_o, park_d
+
+
+def _coherence_perm(orig, dirn, live, lo, hi):
+    """Wavefront coherence sort: rays grouped by origin Morton cell
+    (18 bits — a 64³ grid over the scene) then direction Morton code
+    (9 bits), retired rays last. The TPU analogue of the simulator's ray
+    coherency engine (ray_coherency_engine.cc) — consecutive-rb blocks of
+    the sorted order get tight origin boxes and direction cones, which is
+    exactly what plan_visits' interval + cone culling needs to go
+    log-depth on bounce waves. Returns (perm, inv)."""
+    from gsrt.ops.morton import morton3d
+    R = orig.shape[0]
+    om = morton3d(orig, lo, hi) >> jnp.uint32(12)          # 18 bits
+    dm = morton3d(dirn, -jnp.ones(3), jnp.ones(3)) >> jnp.uint32(21)
+    key = ((om << jnp.uint32(9)) | dm).astype(jnp.int32)
+    key = jnp.where(live, key, jnp.int32(0x7FFFFFFF))
+    perm = jnp.argsort(key)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(R, dtype=perm.dtype))
+    return perm, inv
+
+
+def _any_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max, live=None):
+    """Occlusion query (shadow/AO rays) — any-hit traversal semantics.
+
+    live (optional [R] bool): rays whose answer is unused (their pixel
+    missed, or the query is pre-decided). They are parked outside the
+    scene so traversal plans nothing for their blocks, and the whole
+    wavefront is coherence-sorted first — shadow/AO bundles have random
+    per-pixel directions, the exact regime where unsorted consecutive-rb
+    blocks degrade to a near-linear super-cluster sweep."""
+    if scene.tri_table is not None:
+        lo, hi, park_o, park_d = _scene_sort_bounds(scene)
+        if live is None:
+            live = jnp.ones((orig.shape[0],), bool)
+        perm, inv = _coherence_perm(orig, dirn, live, lo, hi)
+        live_s = live[perm]
+        o_s = jnp.where(live_s[:, None], orig[perm], park_o)
+        d_s = jnp.where(live_s[:, None], dirn[perm], park_d)
+        tb = t_max[perm] if getattr(t_max, "ndim", 0) >= 1 else t_max
+        t, _, _, hit, _ = _closest_hit(scene, o_s, d_s, t_min, tb,
+                                       any_hit=True)
+        return hit[inv]
     t, _, _, hit, _ = _closest_hit(scene, orig, dirn, t_min, t_max)
     return hit
 
@@ -522,9 +588,16 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
                        primary_impl: str = "auto",
                        tri_max_pairs: int = 1 << 20,
                        tri_span_exact: bool = False,
+                       sort_bounces: bool = True,
                        interpret: bool | None = None):
     """Full path trace: [H,W,3] linear color (sqrt-gamma'd if configured,
     RayTracing.rgen:87-93).
+
+    sort_bounces: coherence-sort each bounce wavefront (origin Morton cell
+    + direction code) and park retired rays outside the scene before
+    traversal — output-identical (results are unsorted back), but bounce
+    waves trace in tight bundles and dead blocks cost nothing. Applies
+    when accelerated structures are present (tri_table/gauss_clusters).
 
     gaussians: optional GaussianCloud coexisting with the primitive scene —
     the reference's mixed TLAS where splat BLASes (hit group 4) share the
@@ -576,6 +649,10 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
             tile_w=cfg.tile_w, tile_h=cfg.tile_h, max_pairs=tri_max_pairs,
             span_exact=tri_span_exact)
 
+    sort_lo, sort_hi, park_o, park_d = (
+        _scene_sort_bounds(scene, gauss_clusters)
+        if sort_bounces else (None,) * 4)
+
     def one_sample(key):
         kr, kb = jax.random.split(key)
         orig, dirn = generate_camera_rays(kr, camera, cfg, aperture, focus)
@@ -583,30 +660,62 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
         out_color = jnp.zeros((R, 3))
         active = jnp.ones((R,), bool)
 
+        def gauss_segment(o, d, seg_tmax):
+            if gauss_clusters is not None:
+                g_trans, g_color, _, _ = trace_gaussian_rays_clustered(
+                    gauss_clusters, o, d, cfg, t_max=seg_tmax,
+                    rb=gauss_rb, s_max=gauss_s_max)
+            else:
+                g_trans, g_color, _ = trace_gaussian_rays(
+                    gaussians, o, d, cfg, colors=gauss_colors,
+                    t_max=seg_tmax)
+            return g_trans, g_color
+
         def bounce(b, state, tri_override=None):
             key, orig, dirn, ray_color, out_color, active = state
             key, ks = jax.random.split(key)
+            g_trans = g_color = None
             if tri_override is not None:
                 t, n, mat, hit, uv = _closest_hit(
                     scene, orig, dirn, cfg.t_min, cfg.t_max,
                     tri_override=tri_override)
+                if has_gauss:
+                    g_trans, g_color = gauss_segment(
+                        orig, dirn, jnp.where(hit, t, cfg.t_max))
+            elif sort_lo is not None:
+                # coherence-sort the wavefront: bounce directions are
+                # scattered, so consecutive-rb blocks of screen order have
+                # no bounding cone and traversal degrades to a near-linear
+                # super-cluster sweep (round-2 lumibench: 287 visited
+                # supers/block on blender_2_77). Sorting by origin cell +
+                # direction code restores the tight bundles plan_visits
+                # culls on, and parking retired rays makes dead blocks
+                # free — traversal cost tracks the LIVE wavefront.
+                perm, inv = _coherence_perm(orig, dirn, active,
+                                            sort_lo, sort_hi)
+                act_s = active[perm]
+                o_s = jnp.where(act_s[:, None], orig[perm], park_o)
+                d_s = jnp.where(act_s[:, None], dirn[perm], park_d)
+                t, n, mat, hit, uv = _closest_hit_cutout(
+                    scene, o_s, d_s, cfg.t_min, cfg.t_max)
+                if has_gauss:
+                    g_trans, g_color = gauss_segment(
+                        o_s, d_s, jnp.where(hit, t, cfg.t_max))
+                    g_trans, g_color = g_trans[inv], g_color[inv]
+                t, n, mat, hit = t[inv], n[inv], mat[inv], hit[inv]
+                if uv is not None:
+                    uv = uv[inv]
             else:
                 t, n, mat, hit, uv = _closest_hit_cutout(
                     scene, orig, dirn, cfg.t_min, cfg.t_max)
+                if has_gauss:
+                    g_trans, g_color = gauss_segment(
+                        orig, dirn, jnp.where(hit, t, cfg.t_max))
 
             if has_gauss:
                 # composite the bounce segment through the splat medium:
                 # radiance toward the segment origin = splat in-scatter +
                 # T_gauss * (surface/sky term); throughput picks up T_gauss
-                seg_tmax = jnp.where(hit, t, cfg.t_max)
-                if gauss_clusters is not None:
-                    g_trans, g_color, _, _ = trace_gaussian_rays_clustered(
-                        gauss_clusters, orig, dirn, cfg, t_max=seg_tmax,
-                        rb=gauss_rb, s_max=gauss_s_max)
-                else:
-                    g_trans, g_color, _ = trace_gaussian_rays(
-                        gaussians, orig, dirn, cfg, colors=gauss_colors,
-                        t_max=seg_tmax)
                 out_color = out_color + jnp.where(
                     active[:, None], ray_color * g_color, 0.0)
                 ray_color = jnp.where(active[:, None],
@@ -768,8 +877,10 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
         # rays INTO the surface count occluded without tracing
         # (TraceShadow.rgen:85 "Only accept shadow rays away from surface")
         below = jnp.sum(ld * n, axis=-1) <= 0
+        # rays from missed pixels or into the surface are pre-decided —
+        # park them (live=False) so traversal plans nothing for them
         occluded = below | _any_hit(scene, hit_p, ld, cfg.t_min,
-                                    dist - 1e-2)
+                                    dist - 1e-2, live=hit & ~below)
         vis = vis + jnp.where(occluded, 0.0, 1.0)
     vis = vis / max(cfg.shadow_rays, 1)
     ndl = jnp.maximum(jnp.sum(n * (jnp.asarray(light_pos) - hit_p), -1), 0.0)
@@ -810,7 +921,7 @@ def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
         ks = jax.random.fold_in(key, s + 1)
         d = _random_unit(ks, (orig.shape[0], 3))
         d = jnp.where(jnp.sum(d * n, -1, keepdims=True) < 0, -d, d)
-        blocked = _any_hit(scene, hit_p, d, cfg.t_min, ao_radius)
+        blocked = _any_hit(scene, hit_p, d, cfg.t_min, ao_radius, live=hit)
         occ = occ + jnp.where(blocked, 1.0, 0.0)
     ao = 1.0 - occ / max(cfg.ao_rays, 1)
     color = jnp.where(hit[:, None], ao[:, None] * jnp.ones(3),
