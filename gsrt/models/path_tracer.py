@@ -183,9 +183,16 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
     semantics (first accepted hit, early block exit) — only valid for
     queries that consume `hit` alone.
 
-    Returns (t [R], normal [R,3], mat_id [R], hit [R], uv [R,2] or None).
-    uv is the texture coordinate at the hit (triangle texcoords when the
-    mesh has them, equirectangular sphere UV otherwise).
+    Returns (t [R], normal [R,3], mat_id [R], hit [R], uv [R,2] or None,
+    ovf [] bool). uv is the texture coordinate at the hit (triangle
+    texcoords when the mesh has them, equirectangular sphere UV
+    otherwise). ovf reports traversal visit-list truncation (the packed
+    table's plan past its static cap — the analogue of the reference's
+    deliberately sized 1000-entry warp tables, intersection_table.h:42):
+    True means some candidate super-clusters were dropped and the result
+    may silently miss geometry — re-run with chunked rays or a larger
+    cap. Always False for the analytic primitive sweeps (no static
+    bound).
 
     tri_override: optional precomputed (t [R], tri_id [R]) for the
     triangle part — the binned primary cast (ops.tri_binning) hands its
@@ -196,6 +203,7 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
     best_n = jnp.zeros((R, 3))
     best_m = jnp.zeros((R,), jnp.int32)
     best_uv = jnp.zeros((R, 2)) if scene.tri_uv0 is not None else None
+    ovf = jnp.zeros((), bool)
 
     if scene.sph_center.shape[0]:
         t = ray_sphere(orig, dirn, scene.sph_center, scene.sph_radius,
@@ -280,8 +288,9 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
     elif scene.tri_table is not None:
         from gsrt.ops.tri_kernel import closest_hit_packed
         tt = scene.tri_table
-        ti, slot, _, _ = closest_hit_packed(tt, orig, dirn, t_min, t_max,
-                                            any_hit=any_hit)
+        ti, slot, _, plan = closest_hit_packed(tt, orig, dirn, t_min,
+                                               t_max, any_hit=any_hit)
+        ovf = ovf | plan.overflow
         i = tt.order[slot]
         v0 = scene.tri_v0[i]
         v1 = scene.tri_v1[i]
@@ -334,7 +343,7 @@ def _closest_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max,
             best_uv = jnp.where(upd[:, None], _tri_uv(scene, i, ui, vi),
                                 best_uv)
 
-    return best_t, best_n, best_m, jnp.isfinite(best_t), best_uv
+    return best_t, best_n, best_m, jnp.isfinite(best_t), best_uv, ovf
 
 
 def _sample_alpha(scene: PrimitiveScene, mat_id, normal, uv=None):
@@ -367,11 +376,13 @@ def _closest_hit_cutout(scene: PrimitiveScene, orig, dirn, t_min, t_max,
     tmin_cur = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))[:, None]
     state0 = (tmin_cur, jnp.full((R,), jnp.inf), jnp.zeros((R, 3)),
               jnp.zeros((R,), jnp.int32), jnp.zeros((R,), bool),
-              jnp.zeros((R, 2)), jnp.zeros((R,), bool))
+              jnp.zeros((R, 2)), jnp.zeros((R,), bool),
+              jnp.zeros((), bool))
 
     def body(state):
-        i, tmin_cur, bt, bn, bm, bhit, buv, done = state
-        t, n, m, hit, uv = _closest_hit(scene, orig, dirn, tmin_cur, t_max)
+        i, tmin_cur, bt, bn, bm, bhit, buv, done, ovf = state
+        t, n, m, hit, uv, ovf_i = _closest_hit(scene, orig, dirn, tmin_cur,
+                                               t_max)
         alpha = _sample_alpha(scene, m, n, uv)
         cut = hit & (alpha < 0.5) & ~done
         settle = ~done & ~cut
@@ -383,16 +394,16 @@ def _closest_hit_cutout(scene: PrimitiveScene, orig, dirn, t_min, t_max,
             buv = jnp.where(settle[:, None], uv, buv)
         done = done | settle
         tmin_cur = jnp.where(cut[:, None], t[:, None] + 1e-3, tmin_cur)
-        return i + 1, tmin_cur, bt, bn, bm, bhit, buv, done
+        return i + 1, tmin_cur, bt, bn, bm, bhit, buv, done, ovf | ovf_i
 
     # while, not fori: nearly every ray settles on iteration 1, and each
     # extra iteration re-pays a FULL scene traversal
     def cond(state):
-        return (state[0] <= max_skips) & ~jnp.all(state[-1])
+        return (state[0] <= max_skips) & ~jnp.all(state[-2])
 
-    _, _, bt, bn, bm, bhit, buv, done = jax.lax.while_loop(
+    _, _, bt, bn, bm, bhit, buv, done, ovf = jax.lax.while_loop(
         cond, body, (jnp.int32(0),) + state0)
-    return bt, bn, bm, bhit & done, (buv if has_uv else None)
+    return bt, bn, bm, bhit & done, (buv if has_uv else None), ovf
 
 
 def _scene_sort_bounds(scene, gauss_clusters=None):
@@ -455,11 +466,11 @@ def _any_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max, live=None):
         o_s = jnp.where(live_s[:, None], orig[perm], park_o)
         d_s = jnp.where(live_s[:, None], dirn[perm], park_d)
         tb = t_max[perm] if getattr(t_max, "ndim", 0) >= 1 else t_max
-        t, _, _, hit, _ = _closest_hit(scene, o_s, d_s, t_min, tb,
-                                       any_hit=True)
-        return hit[inv]
-    t, _, _, hit, _ = _closest_hit(scene, orig, dirn, t_min, t_max)
-    return hit
+        t, _, _, hit, _, ovf = _closest_hit(scene, o_s, d_s, t_min, tb,
+                                            any_hit=True)
+        return hit[inv], ovf
+    t, _, _, hit, _, ovf = _closest_hit(scene, orig, dirn, t_min, t_max)
+    return hit, ovf
 
 
 def _random_unit(key, shape):
@@ -589,9 +600,19 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
                        tri_max_pairs: int = 1 << 20,
                        tri_span_exact: bool = False,
                        sort_bounces: bool = True,
+                       return_flags: bool = False,
                        interpret: bool | None = None):
     """Full path trace: [H,W,3] linear color (sqrt-gamma'd if configured,
     RayTracing.rgen:87-93).
+
+    return_flags=True returns (img, flags) where flags carries the static
+    -buffer truncation booleans every production path computes:
+    "tri_visits_overflow" (packed-table visit list past its cap),
+    "gauss_visits_overflow" (clustered-splat s_max), and
+    "binned_pairs_overflow" (tri_max_pairs, when the binned primary
+    ran). A True flag means the image may silently miss geometry — grow
+    the bound and re-render (render_path_traced_calibrated does this
+    automatically).
 
     sort_bounces: coherence-sort each bounce wavefront (origin Morton cell
     + direction code) and park retired rays outside the scene before
@@ -662,25 +683,28 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
 
         def gauss_segment(o, d, seg_tmax):
             if gauss_clusters is not None:
-                g_trans, g_color, _, _ = trace_gaussian_rays_clustered(
+                g_trans, g_color, _, g_ovf = trace_gaussian_rays_clustered(
                     gauss_clusters, o, d, cfg, t_max=seg_tmax,
                     rb=gauss_rb, s_max=gauss_s_max)
             else:
                 g_trans, g_color, _ = trace_gaussian_rays(
                     gaussians, o, d, cfg, colors=gauss_colors,
                     t_max=seg_tmax)
-            return g_trans, g_color
+                g_ovf = jnp.zeros((), bool)
+            return g_trans, g_color, g_ovf
 
         def bounce(b, state, tri_override=None):
-            key, orig, dirn, ray_color, out_color, active = state
+            (key, orig, dirn, ray_color, out_color, active,
+             ovf_tri, ovf_gauss) = state
             key, ks = jax.random.split(key)
             g_trans = g_color = None
+            g_ovf = jnp.zeros((), bool)
             if tri_override is not None:
-                t, n, mat, hit, uv = _closest_hit(
+                t, n, mat, hit, uv, ovf = _closest_hit(
                     scene, orig, dirn, cfg.t_min, cfg.t_max,
                     tri_override=tri_override)
                 if has_gauss:
-                    g_trans, g_color = gauss_segment(
+                    g_trans, g_color, g_ovf = gauss_segment(
                         orig, dirn, jnp.where(hit, t, cfg.t_max))
             elif sort_lo is not None:
                 # coherence-sort the wavefront: bounce directions are
@@ -696,20 +720,20 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
                 act_s = active[perm]
                 o_s = jnp.where(act_s[:, None], orig[perm], park_o)
                 d_s = jnp.where(act_s[:, None], dirn[perm], park_d)
-                t, n, mat, hit, uv = _closest_hit_cutout(
+                t, n, mat, hit, uv, ovf = _closest_hit_cutout(
                     scene, o_s, d_s, cfg.t_min, cfg.t_max)
                 if has_gauss:
-                    g_trans, g_color = gauss_segment(
+                    g_trans, g_color, g_ovf = gauss_segment(
                         o_s, d_s, jnp.where(hit, t, cfg.t_max))
                     g_trans, g_color = g_trans[inv], g_color[inv]
                 t, n, mat, hit = t[inv], n[inv], mat[inv], hit[inv]
                 if uv is not None:
                     uv = uv[inv]
             else:
-                t, n, mat, hit, uv = _closest_hit_cutout(
+                t, n, mat, hit, uv, ovf = _closest_hit_cutout(
                     scene, orig, dirn, cfg.t_min, cfg.t_max)
                 if has_gauss:
-                    g_trans, g_color = gauss_segment(
+                    g_trans, g_color, g_ovf = gauss_segment(
                         orig, dirn, jnp.where(hit, t, cfg.t_max))
 
             if has_gauss:
@@ -751,9 +775,11 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
             orig = jnp.where(hit[:, None], hit_p, orig)
             dirn = jnp.where(hit[:, None], new_dir, dirn)
             active = active & hit & scattered
-            return key, orig, dirn, ray_color, out_color, active
+            return (key, orig, dirn, ray_color, out_color, active,
+                    ovf_tri | ovf, ovf_gauss | g_ovf)
 
-        state = (kb, orig, dirn, ray_color, out_color, active)
+        state = (kb, orig, dirn, ray_color, out_color, active,
+                 jnp.zeros((), bool), jnp.zeros((), bool))
         if tri_binning is not None:
             from gsrt.ops.tri_binning import cast_primary
             t_bin, id_bin = cast_primary(
@@ -767,13 +793,62 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
         else:
             state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
         # rays exceeding the bounce limit gather no light (rgen:56-60)
-        return state[4]
+        return state[4], state[6], state[7]
 
     keys = jax.random.split(key, cfg.samples)
-    color = jnp.mean(jax.lax.map(one_sample, keys), axis=0)
+    color, ovf_tri_s, ovf_gauss_s = jax.lax.map(one_sample, keys)
+    color = jnp.mean(color, axis=0)
     if cfg.gamma_correction:
         color = jnp.sqrt(jnp.clip(color, 0.0, 1.0))
-    return color.reshape(H, W, 3)
+    img = color.reshape(H, W, 3)
+    if return_flags:
+        flags = {"tri_visits_overflow": jnp.any(ovf_tri_s),
+                 "gauss_visits_overflow": jnp.any(ovf_gauss_s),
+                 "binned_pairs_overflow":
+                     tri_binning.overflow if tri_binning is not None
+                     else jnp.zeros((), bool)}
+        return img, flags
+    return img
+
+
+def render_path_traced_calibrated(scene: PrimitiveScene, camera: Camera,
+                                  cfg: RenderConfig, *,
+                                  gauss_s_max: int = 48,
+                                  tri_max_pairs: int = 1 << 20,
+                                  max_retries: int = 2,
+                                  growth: float = 2.0,
+                                  **kw):
+    """Calibrate-and-re-render around render_path_traced's static buffer
+    bounds — the PT-path mirror of GaussianRayTracer.__call__'s
+    overflow-driven re-render (gaussian_rt.py). The reference sizes its
+    warp tables deliberately and permanently (intersection_table.h:42);
+    on TPU the bounds are compile-time, so a truncated render costs one
+    recompile at a grown bound instead of a silently wrong image.
+
+    Grows tri_max_pairs on binned-pair overflow and gauss_s_max on
+    clustered-splat visit overflow. tri-visit overflow (only reachable
+    past the packed kernel's ~4M visit cap) cannot be grown here — it is
+    reported in the returned info for the caller to chunk rays.
+
+    Returns (img, info): info carries the final sizes, retry count and
+    the last flags (all concrete Python values — this wrapper
+    synchronizes with the device and must run OUTSIDE jit)."""
+    retries = 0
+    while True:
+        img, flags = render_path_traced(
+            scene, camera, cfg, gauss_s_max=gauss_s_max,
+            tri_max_pairs=tri_max_pairs, return_flags=True, **kw)
+        concrete = {k: bool(v) for k, v in flags.items()}
+        grow_pairs = concrete.get("binned_pairs_overflow", False)
+        grow_smax = concrete.get("gauss_visits_overflow", False)
+        if not (grow_pairs or grow_smax) or retries >= max_retries:
+            return img, {"retries": retries, "gauss_s_max": gauss_s_max,
+                         "tri_max_pairs": tri_max_pairs, "flags": concrete}
+        if grow_pairs:
+            tri_max_pairs = int(tri_max_pairs * growth)
+        if grow_smax:
+            gauss_s_max = max(int(gauss_s_max * growth), gauss_s_max + 8)
+        retries += 1
 
 
 def render_foveated(scene: PrimitiveScene, camera: Camera,
@@ -825,7 +900,9 @@ def _resolve_primary(primary_impl: str, scene, aperture: float = 0.0) -> str:
 def _binned_primary(scene, camera, cfg, dirn, tri_max_pairs, interpret,
                     span_exact: bool = False):
     """Build + run the screen-tile primary cast for one camera bundle;
-    returns the (t, tri_id) override for _closest_hit."""
+    returns ((t, tri_id) override for _closest_hit, pair-buffer overflow
+    flag — True means tri_max_pairs truncated the binned pair list and
+    the primary hits may silently miss geometry)."""
     from gsrt.ops.tri_binning import build_tri_binning, cast_primary
     assert scene.tri_v0.shape[0] > 0, "binned primary needs triangles"
     binning = build_tri_binning(
@@ -836,7 +913,7 @@ def _binned_primary(scene, camera, cfg, dirn, tri_max_pairs, interpret,
         binning, dirn, camera.position, width=camera.width,
         height=camera.height, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
         t_min=cfg.t_min, t_max=cfg.t_max, interpret=interpret)
-    return t_bin.reshape(-1), id_bin.reshape(-1)
+    return (t_bin.reshape(-1), id_bin.reshape(-1)), binning.overflow
 
 
 def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
@@ -844,21 +921,24 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
                        seed: int = 0, primary_impl: str = "auto",
                        tri_max_pairs: int = 1 << 20,
                        tri_span_exact: bool = False,
+                       return_flags: bool = False,
                        interpret: bool | None = None):
     """TraceShadow.rgen semantics: primary hit, then `shadow_rays` rays
     toward points on the light sphere; shade = diffuse·visibility.
     primary_impl="binned" routes the primary segment through the
-    screen-tile cast (ops.tri_binning)."""
+    screen-tile cast (ops.tri_binning). return_flags=True returns
+    (img, flags) with the truncation booleans (see render_path_traced)."""
     H, W = camera.height, camera.width
     key = jax.random.PRNGKey(seed)
     orig, dirn = generate_camera_rays(key, camera, cfg)
     primary_impl = _resolve_primary(primary_impl, scene)
-    t, n, mat, hit, _ = _closest_hit(
-        scene, orig, dirn, cfg.t_min, cfg.t_max,
-        tri_override=_binned_primary(scene, camera, cfg, dirn,
-                                     tri_max_pairs, interpret,
-                                     span_exact=tri_span_exact)
-        if primary_impl == "binned" else None)
+    tri_ov, pairs_ovf = None, jnp.zeros((), bool)
+    if primary_impl == "binned":
+        tri_ov, pairs_ovf = _binned_primary(
+            scene, camera, cfg, dirn, tri_max_pairs, interpret,
+            span_exact=tri_span_exact)
+    t, n, mat, hit, _, ovf = _closest_hit(
+        scene, orig, dirn, cfg.t_min, cfg.t_max, tri_override=tri_ov)
     hit_p = orig + t[:, None] * dirn + 1e-3 * n
     vis = jnp.zeros((orig.shape[0],))
     for s in range(cfg.shadow_rays):
@@ -879,8 +959,10 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
         below = jnp.sum(ld * n, axis=-1) <= 0
         # rays from missed pixels or into the surface are pre-decided —
         # park them (live=False) so traversal plans nothing for them
-        occluded = below | _any_hit(scene, hit_p, ld, cfg.t_min,
-                                    dist - 1e-2, live=hit & ~below)
+        occ_s, ovf_s = _any_hit(scene, hit_p, ld, cfg.t_min,
+                                dist - 1e-2, live=hit & ~below)
+        occluded = below | occ_s
+        ovf = ovf | ovf_s
         vis = vis + jnp.where(occluded, 0.0, 1.0)
     vis = vis / max(cfg.shadow_rays, 1)
     ndl = jnp.maximum(jnp.sum(n * (jnp.asarray(light_pos) - hit_p), -1), 0.0)
@@ -889,7 +971,11 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
     albedo = scene.materials.diffuse[mat]
     color = jnp.where(hit[:, None], albedo * (0.1 + 0.9 * vis * ndl)[:, None],
                       _sky(dirn, cfg.has_sky))
-    return color.reshape(H, W, 3)
+    img = color.reshape(H, W, 3)
+    if return_flags:
+        return img, {"tri_visits_overflow": ovf,
+                     "binned_pairs_overflow": pairs_ovf}
+    return img
 
 
 def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
@@ -898,32 +984,41 @@ def render_ambient_occlusion(scene: PrimitiveScene, camera: Camera,
                              primary_impl: str = "auto",
                              tri_max_pairs: int = 1 << 20,
                              tri_span_exact: bool = False,
+                             return_flags: bool = False,
                              interpret: bool | None = None):
     """TraceAO.rgen semantics: primary hit + `ao_rays` occlusion rays,
     UNIFORM over the normal's hemisphere with limited tMax (the reference
     flips a uniform unit-sphere sample into the hemisphere,
     TraceAO.rgen:66-70 — deliberately not cosine-weighted).
     primary_impl="binned" routes the primary segment through the
-    screen-tile cast (ops.tri_binning)."""
+    screen-tile cast (ops.tri_binning). return_flags=True returns
+    (img, flags) with the truncation booleans (see render_path_traced)."""
     H, W = camera.height, camera.width
     key = jax.random.PRNGKey(seed)
     orig, dirn = generate_camera_rays(key, camera, cfg)
     primary_impl = _resolve_primary(primary_impl, scene)
-    t, n, mat, hit, _ = _closest_hit(
-        scene, orig, dirn, cfg.t_min, cfg.t_max,
-        tri_override=_binned_primary(scene, camera, cfg, dirn,
-                                     tri_max_pairs, interpret,
-                                     span_exact=tri_span_exact)
-        if primary_impl == "binned" else None)
+    tri_ov, pairs_ovf = None, jnp.zeros((), bool)
+    if primary_impl == "binned":
+        tri_ov, pairs_ovf = _binned_primary(
+            scene, camera, cfg, dirn, tri_max_pairs, interpret,
+            span_exact=tri_span_exact)
+    t, n, mat, hit, _, ovf = _closest_hit(
+        scene, orig, dirn, cfg.t_min, cfg.t_max, tri_override=tri_ov)
     hit_p = orig + t[:, None] * dirn + 1e-3 * n
     occ = jnp.zeros((orig.shape[0],))
     for s in range(cfg.ao_rays):
         ks = jax.random.fold_in(key, s + 1)
         d = _random_unit(ks, (orig.shape[0], 3))
         d = jnp.where(jnp.sum(d * n, -1, keepdims=True) < 0, -d, d)
-        blocked = _any_hit(scene, hit_p, d, cfg.t_min, ao_radius, live=hit)
+        blocked, ovf_s = _any_hit(scene, hit_p, d, cfg.t_min, ao_radius,
+                                  live=hit)
         occ = occ + jnp.where(blocked, 1.0, 0.0)
+        ovf = ovf | ovf_s
     ao = 1.0 - occ / max(cfg.ao_rays, 1)
     color = jnp.where(hit[:, None], ao[:, None] * jnp.ones(3),
                       _sky(dirn, cfg.has_sky))
-    return color.reshape(H, W, 3)
+    img = color.reshape(H, W, 3)
+    if return_flags:
+        return img, {"tri_visits_overflow": ovf,
+                     "binned_pairs_overflow": pairs_ovf}
+    return img

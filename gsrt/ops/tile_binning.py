@@ -76,8 +76,11 @@ _PACK_BIAS = jnp.int32(1 << 30)
 # a splat alive there has σ ≥ 48/√(2·g_cutoff) ≈ 14 px and |∇g| ≤
 # √(2·g_cutoff)/σ ≈ 0.23/px → δg ≤ 0.23/16 ≈ 0.015; the fine tier's
 # 1/512-px rounding bounds δg ≈ 0.007 even for sub-2-px splats.
-# Measured on the parity test scene: max color error 6e-3, mean 2e-4 —
-# a documented fast tier, not the bit-parity path (the f32 payload).
+# Measured on the parity test scene: max color error 6e-3, mean 2e-4;
+# scene-dependent — alpha compositing accumulates the per-splat opacity
+# steps, e.g. 1.09e-2 max color on tpu_smoke's 300-splat overlap scene
+# (identical CPU vs TPU, i.e. quantization, not flushing). A documented
+# fast tier, not the bit-parity path (the f32 payload).
 COMPACT_WIDTH = 5
 # Stored HBM rows: Mosaic HBM->VMEM DMAs slice whole sublane tiles, so a
 # 5-row slice from a (8,128)-tiled memref is illegal ("Slice shape along

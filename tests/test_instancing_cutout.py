@@ -95,12 +95,12 @@ def test_rotated_box_becomes_triangles():
     # AABB-as-geometry behavior would report a hit here
     orig = jnp.array([[1.2, -3.0, 1.2]])
     dirn = jnp.array([[0.0, 1.0, 0.0]])
-    t, n, m, hit, _ = _closest_hit(inst, orig, dirn, 1e-3, 100.0)
+    t, n, m, hit, _, _ = _closest_hit(inst, orig, dirn, 1e-3, 100.0)
     assert not bool(hit[0]), "ray outside the rotated box must miss"
     # and a ray through the center must hit the diamond edge at x=-sqrt(2)
     orig2 = jnp.array([[-3.0, 0.0, 0.0]])
     dirn2 = jnp.array([[1.0, 0.0, 0.0]])
-    t2, n2, m2, hit2, _ = _closest_hit(inst, orig2, dirn2, 1e-3, 100.0)
+    t2, n2, m2, hit2, _, _ = _closest_hit(inst, orig2, dirn2, 1e-3, 100.0)
     assert bool(hit2[0])
     np.testing.assert_allclose(float(t2[0]), 3.0 - np.sqrt(2.0), atol=1e-4)
 

@@ -93,7 +93,7 @@ def test_alpha_cutout_with_triangle_uvs(tmp_path):
     # ray at u≈0.25 (transparent), ray at u≈0.75 (opaque)
     orig = jnp.asarray([[0.25, 0.5, 2.0], [0.75, 0.5, 2.0]])
     dirn = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
-    t, n, m, hit, uv = _closest_hit_cutout(scene, orig, dirn, 1e-3, 1e4)
+    t, n, m, hit, uv, _ = _closest_hit_cutout(scene, orig, dirn, 1e-3, 1e4)
     assert not bool(hit[0]), "transparent texel should be cut out"
     assert bool(hit[1]), "opaque texel should hit"
 

@@ -31,7 +31,7 @@ def test_cylinder_side_hit():
     scene = _single_cyl_scene()
     orig = jnp.array([[2.0, 0.25, 0.0]])
     dirn = jnp.array([[-1.0, 0.0, 0.0]])
-    t, n, m, hit, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
+    t, n, m, hit, _, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
     assert bool(hit[0])
     np.testing.assert_allclose(float(t[0]), 1.5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(n[0]), [1.0, 0.0, 0.0], atol=1e-5)
@@ -41,7 +41,7 @@ def test_cylinder_cap_hit():
     scene = _single_cyl_scene()
     orig = jnp.array([[0.1, 2.0, 0.1]])
     dirn = jnp.array([[0.0, -1.0, 0.0]])
-    t, n, m, hit, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
+    t, n, m, hit, _, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
     assert bool(hit[0])
     np.testing.assert_allclose(float(t[0]), 1.5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(n[0]), [0.0, 1.0, 0.0], atol=1e-5)
@@ -54,7 +54,7 @@ def test_cylinder_y_window_matches_reference():
     scene = _single_cyl_scene(radius=0.5)  # default half_h = radius
     orig = jnp.array([[2.0, 0.49, 0.0], [2.0, 0.51, 0.0]])
     dirn = jnp.array([[-1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
-    t, _, _, hit, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
+    t, _, _, hit, _, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
     assert bool(hit[0]) and not bool(hit[1])
 
 
@@ -64,7 +64,7 @@ def test_mandelbulb_hit_and_normal():
     scene = b.build()
     orig = jnp.array([[0.0, 0.0, 3.0], [0.0, 3.0, 3.0]])
     dirn = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
-    t, n, _, hit, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
+    t, n, _, hit, _, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
     # the center ray enters the bulb; the offset ray misses its bound
     assert bool(hit[0]) and not bool(hit[1])
     assert 3.0 - 1.3 < float(t[0]) < 3.0
@@ -81,7 +81,7 @@ def test_closer_primitive_wins_over_cylinder():
     scene = b.build()
     orig = jnp.array([[0.0, 0.0, 3.0]])
     dirn = jnp.array([[0.0, 0.0, -1.0]])
-    t, _, m, hit, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
+    t, _, m, hit, _, _ = _closest_hit(scene, orig, dirn, 1e-3, 1e4)
     assert bool(hit[0])
     np.testing.assert_allclose(float(t[0]), 1.75, rtol=1e-5)
     assert int(m[0]) == msph

@@ -165,7 +165,7 @@ def test_binned_primary_on_reference_scene():
                                  interpret=True)
     # production traversal comparison (tri_table path or brute)
     scene_t = with_tri_table(scene)
-    t_ref, n, m, hit, uv = _closest_hit(scene_t, orig, dirn, 1e-3, 1e4)
+    t_ref, n, m, hit, uv, _ = _closest_hit(scene_t, orig, dirn, 1e-3, 1e4)
     t_ref = np.asarray(t_ref).reshape(48, 64)
     hit = np.asarray(hit).reshape(48, 64)
     t_bin = np.asarray(t_bin)
