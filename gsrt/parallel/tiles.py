@@ -106,14 +106,46 @@ def shard_cloud_by_depth(cloud: GaussianCloud, camera: Camera,
                          opacity=prep(cloud.opacity), sh=prep(cloud.sh))
 
 
+def _composite_butterfly(trans, color, axis_name: str, n_sh: int):
+    """Ordered depth composite in O(log D) pairwise exchanges.
+
+    Front-to-back compositing over depth slabs is ASSOCIATIVE but not
+    commutative: (C, T) ∘ (C', T') = (C + T·C', T·T') with the nearer
+    slab on the left. Recursive doubling with XOR partners keeps each
+    chip's running value covering an aligned contiguous block of slab
+    indices, so order is preserved by combining lower-block ∘
+    upper-block. Per-chip ICI traffic is log2(D) framebuffers instead of
+    the all_gather's D-1 (SURVEY §5's per-ray-state exchange row) and
+    peak memory is O(1) framebuffers instead of O(D)."""
+    idx = jax.lax.axis_index(axis_name)
+    d = 1
+    while d < n_sh:
+        perm = [(i, i ^ d) for i in range(n_sh)]
+        pt = jax.lax.ppermute(trans, axis_name, perm)
+        pc = jax.lax.ppermute(color, axis_name, perm)
+        lower = ((idx & d) == 0)          # my block is nearer the camera
+        color = jnp.where(lower,
+                          color + trans[..., None] * pc,
+                          pc + pt[..., None] * color)
+        trans = trans * pt
+        d *= 2
+    return trans, color
+
+
 def render_splat_sharded(cloud: GaussianCloud, camera: Camera,
                          cfg: RenderConfig, mesh: Mesh,
-                         render_fn=None):
+                         render_fn=None, composite: str = "gather"):
     """Depth-slab splat sharding × row-slab image sharding.
 
     `cloud` must be depth-sorted and N divisible by the splat axis (use
     `shard_cloud_by_depth`). Returns (trans [H,W], color [H,W,3]) sharded
     P('tiles') on rows, replicated over 'splats'.
+
+    composite: "gather" all_gathers every shard's (trans, color) slab and
+    composites locally (O(D) ICI traffic + memory per chip); "butterfly"
+    combines them in-place through log2(D) ppermute exchanges (O(log D)
+    traffic, O(1) memory) — same image, better scaling for deep splat
+    axes. Butterfly requires a power-of-two splat axis.
     """
     from gsrt.models.gaussian_rt import render_fast
     render_fn = render_fn or render_fast
@@ -121,6 +153,10 @@ def render_splat_sharded(cloud: GaussianCloud, camera: Camera,
     n_sh = mesh.shape["splats"]
     assert camera.height % n_tiles == 0
     assert cloud.n % n_sh == 0
+    assert composite in ("gather", "butterfly"), composite
+    if composite == "butterfly":
+        assert n_sh & (n_sh - 1) == 0, \
+            "butterfly composite needs a power-of-two splat axis"
     slab_h = camera.height // n_tiles
     # each shard blends only its depth slab — the background term belongs
     # to the FINAL transmittance, added once after the composite (adding it
@@ -137,18 +173,22 @@ def render_splat_sharded(cloud: GaussianCloud, camera: Camera,
         y0 = jax.lax.axis_index("tiles") * slab_h
         cam = _slab_camera(camera, y0.astype(jnp.float32), slab_h)
         out = render_fn(cloud, cam, slab_cfg)      # my depth slab only
-        packed = jnp.concatenate(
-            [out.trans[..., None], out.color], axis=-1)[None]  # [1,h,W,4]
-        all_slabs = jax.lax.all_gather(
-            packed, "splats", axis=0, tiled=True)  # [n_sh, h, W, 4]
-        ts = all_slabs[..., 0]                     # [n_sh, h, W]
-        cs = all_slabs[..., 1:]                    # [n_sh, h, W, 3]
-        # ordered composite over depth slabs: prefix transmittances
-        excl = jnp.concatenate(
-            [jnp.ones_like(ts[:1]),
-             jnp.cumprod(ts, axis=0)[:-1]], axis=0)
-        color = jnp.sum(cs * excl[..., None], axis=0)
-        trans = jnp.prod(ts, axis=0)
+        if composite == "butterfly":
+            trans, color = _composite_butterfly(out.trans, out.color,
+                                                "splats", n_sh)
+        else:
+            packed = jnp.concatenate(
+                [out.trans[..., None], out.color], axis=-1)[None]
+            all_slabs = jax.lax.all_gather(
+                packed, "splats", axis=0, tiled=True)  # [n_sh, h, W, 4]
+            ts = all_slabs[..., 0]                     # [n_sh, h, W]
+            cs = all_slabs[..., 1:]                    # [n_sh, h, W, 3]
+            # ordered composite over depth slabs: prefix transmittances
+            excl = jnp.concatenate(
+                [jnp.ones_like(ts[:1]),
+                 jnp.cumprod(ts, axis=0)[:-1]], axis=0)
+            color = jnp.sum(cs * excl[..., None], axis=0)
+            trans = jnp.prod(ts, axis=0)
         if cfg.white_background:
             color = color + trans[..., None]
         return jnp.concatenate([trans[..., None], color], axis=-1)

@@ -64,6 +64,32 @@ def test_splat_sharded_white_background():
 
 
 @pytest.mark.slow
+def test_splat_sharded_butterfly_composite():
+    """composite='butterfly' (log-depth ppermute exchange) must produce
+    the same image as the all_gather composite and the single-chip
+    reference."""
+    cloud, camera = random_cloud(333, seed=6, width=64, height=32)
+    cfg = RenderConfig(width=64, height=32, conic_mode="standard")
+    ref = render_fast(cloud, camera, cfg)
+    mesh = make_render_mesh(n_tiles=2, n_splats=4)
+    sharded = shard_cloud_by_depth(cloud, camera, 4)
+    tg, cg = render_splat_sharded(sharded, camera, cfg, mesh,
+                                  composite="gather")
+    tb, cb = render_splat_sharded(sharded, camera, cfg, mesh,
+                                  composite="butterfly")
+    # butterfly reorders the multiplication tree — fp-level differences
+    # only
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(tg),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cb), np.asarray(cg),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(ref.trans),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cb), np.asarray(ref.color),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_splat_sharded_full_splat_axis():
     cloud, camera = random_cloud(160, seed=7, width=64, height=8)
     cfg = RenderConfig(width=64, height=8, conic_mode="standard")
