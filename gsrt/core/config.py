@@ -80,6 +80,13 @@ class RenderConfig:
                                 # native MXU width (smaller bs pads to 128
                                 # anyway) and amortizes grid-step overhead
     splat_chunk: int = 256      # splats per chunk in the brute-force paths
+    exact_hits: bool = False    # packed-kernel tiled path: count each
+                                # pixel's accepted splats exactly (one
+                                # extra 0/1 MXU pass per chunk) instead of
+                                # reporting the tile's pair count per
+                                # pixel. The exact rt_avg_nodes_per_ray
+                                # analogue (gpu-sim.cc:1504-1532) on the
+                                # perf path; off by default for speed
     scan_impl: Literal["roll", "logmm"] = "logmm"
                                 # packed-kernel exclusive-cumprod scan:
                                 # "roll" = 8-step masked Hillis-Steele;

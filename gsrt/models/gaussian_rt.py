@@ -467,22 +467,28 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
             skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut,
-            track_consumed=serving, scan_impl=cfg.scan_impl)
-        if serving:
-            color, trans, consumed = res
-        else:
-            color, trans = res
+            track_consumed=serving, scan_impl=cfg.scan_impl,
+            track_hits=cfg.exact_hits)
+        res = list(res)
+        color, trans = res[0], res[1]
+        consumed = res[2] if serving else None
+        exact_hit_map = res[-1] if cfg.exact_hits else None
 
     if cfg.white_background:
         color = color + trans[..., None]
 
     H, W = camera.height, camera.width
-    # per-pixel hit counts are not tracked in the fused kernel; report the
-    # tile's pair count for every pixel of the tile (metrics-grade, not exact)
-    ntx = -(-W // tw)
-    nty = -(-H // th)
-    tile_hits = binning.tile_count.reshape(nty, ntx)
-    hits = jnp.repeat(jnp.repeat(tile_hits, th, 0), tw, 1)[:H, :W]
+    if cfg.exact_hits and cfg.blend_impl != "subtile" and \
+            (tw, th) != (128, 8):
+        # exact per-pixel accepted-splat counts from the packed kernel
+        hits = exact_hit_map
+    else:
+        # hit counts not tracked in this kernel; report the tile's pair
+        # count for every pixel of the tile (metrics-grade, not exact)
+        ntx = -(-W // tw)
+        nty = -(-H // th)
+        tile_hits = binning.tile_count.reshape(nty, ntx)
+        hits = jnp.repeat(jnp.repeat(tile_hits, th, 0), tw, 1)[:H, :W]
     out = RenderOutput(trans=trans, color=color,
                        passes=-(-hits // cfg.k), hits=hits,
                        overflow=binning.overflow)

@@ -80,12 +80,12 @@ def _blend_packed_kernel(
     term_eps: float, skip_range_check: bool, use_exp_lut: bool,
     exact_dots: bool, track_consumed: bool = False, ablate: str = "",
     compact: bool = False, scan_impl: str = "roll",
+    track_hits: bool = False,
 ):
-    if track_consumed:
-        consumed_ref, buf, sem = rest
-    else:
-        consumed_ref = None
-        buf, sem = rest
+    rest = list(rest)
+    consumed_ref = rest.pop(0) if track_consumed else None
+    hits_ref = rest.pop(0) if track_hits else None
+    buf, sem = rest
     grp = pl.program_id(0)
     t0 = grp * bs
     win = sub_w * sub_h
@@ -154,10 +154,9 @@ def _blend_packed_kernel(
         return _dot2(a, b16, (((a.ndim - 1,), (b16.ndim - 1,)), ((), ())))
 
     def body(state):
-        if track_consumed:
-            j, trans, r_acc, g_acc, b_acc, sat = state
-        else:
-            j, trans, r_acc, g_acc, b_acc = state
+        j, trans, r_acc, g_acc, b_acc, *aux = state
+        sat = aux.pop(0) if track_consumed else None
+        hits = aux.pop(0) if track_hits else None
         slot = jax.lax.rem(j, 2)
 
         if track_consumed:
@@ -181,8 +180,9 @@ def _blend_packed_kernel(
         if ablate == "dmaonly":
             # consume the buffer so the DMA is not dead-code-eliminated
             junk = 1e-30 * jnp.sum(pay).astype(jnp.float32)
-            return (j + 1, trans + junk, r_acc, g_acc,
-                    b_acc) + ((sat,) if track_consumed else ())
+            return (j + 1, trans + junk, r_acc, g_acc, b_acc) \
+                + ((sat,) if track_consumed else ()) \
+                + ((hits,) if track_hits else ())
         pay_i_all = pay if compact else pltpu.bitcast(pay, jnp.int32)
         # each pair's tile id rides in the last payload row (20 bits, plus
         # a bias bit in f32 mode; tile_binning). Lanes outside this group's
@@ -199,7 +199,7 @@ def _blend_packed_kernel(
             trans_lane = dot_split(trans, onehot)      # (win, LANES)
 
         def blend(args):
-            trans, r_acc, g_acc, b_acc = args
+            trans, r_acc, g_acc, b_acc, *haux = args
 
             if compact:
                 # int32 payload: u16|u16 tile-relative two-tier fixed-point
@@ -312,12 +312,18 @@ def _blend_packed_kernel(
 
             w = alpha * excl * trans_lane              # (win, LANES)
 
+            if track_hits:
+                # exact per-pixel accepted-pair count: accept and onehot
+                # are both 0/1 — exact in bf16, a single MXU pass
+                haux = [haux[0] + mm(accept.astype(acc_dtype),
+                                     onehot.astype(acc_dtype),
+                                     (((1,), (1,)), ((), ())))]
             if ablate == "nodots":
                 r_acc = r_acc + 1e-30 * jnp.sum(w * cr)
                 g_acc = g_acc + 1e-30 * jnp.sum(w * cg)
                 b_acc = b_acc + 1e-30 * jnp.sum(w * cb)
                 trans = trans * (1.0 - 1e-30 * jnp.sum(one_minus))
-                return trans, r_acc, g_acc, b_acc
+                return tuple([trans, r_acc, g_acc, b_acc] + haux)
             rgb = jnp.concatenate([w * cr, w * cg, w * cb], axis=0)
             rgb_cols = dot_lanes_split(rgb, onehot)    # (3*win, bs)
             r_acc = r_acc + rgb_cols[:win]
@@ -336,17 +342,23 @@ def _blend_packed_kernel(
             seg_tot = cols[:win]
             has = cols[win:]                                   # (1, bs)
             trans = trans * jnp.where(has > 0, seg_tot, 1.0)
-            return trans, r_acc, g_acc, b_acc
+            return tuple([trans, r_acc, g_acc, b_acc] + haux)
 
         # skip the math once every subtile present in this chunk has
         # saturated (front-to-back makes later chunks no-ops); the DMA
-        # stream keeps flowing so the pipeline stays intact
-        trans, r_acc, g_acc, b_acc = jax.lax.cond(
-            jnp.max(trans_lane) > term_eps, blend, lambda a: a,
-            (trans, r_acc, g_acc, b_acc))
-        if track_consumed:
-            return j + 1, trans, r_acc, g_acc, b_acc, sat
-        return j + 1, trans, r_acc, g_acc, b_acc
+        # stream keeps flowing so the pipeline stays intact (saturation-
+        # skipped pairs are NOT counted as hits — like the reference's
+        # terminated rays visiting no further BVH nodes)
+        carry_in = (trans, r_acc, g_acc, b_acc) \
+            + ((hits,) if track_hits else ())
+        carry_out = jax.lax.cond(
+            jnp.max(trans_lane) > term_eps, blend, lambda a: a, carry_in)
+        trans, r_acc, g_acc, b_acc = carry_out[:4]
+        if track_hits:
+            hits = carry_out[4]
+        return (j + 1, trans, r_acc, g_acc, b_acc) \
+            + ((sat,) if track_consumed else ()) \
+            + ((hits,) if track_hits else ())
 
     def cond(state):
         return state[0] < total_chunks
@@ -360,11 +372,17 @@ def _blend_packed_kernel(
         # of the non-negative iota is 0 everywhere but not const-folded
         sat0 = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1) >> 31
         init = init + (sat0,)
-        _, trans, r_acc, g_acc, b_acc, sat = jax.lax.while_loop(
-            cond, body, init)
-        consumed_ref[0] = jnp.broadcast_to(sat, (8, bs))
-    else:
-        _, trans, r_acc, g_acc, b_acc = jax.lax.while_loop(cond, body, init)
+    if track_hits:
+        h0 = (jax.lax.broadcasted_iota(jnp.int32, (win, bs), 1)
+              >> 31).astype(jnp.float32)
+        init = init + (h0,)
+    fin = jax.lax.while_loop(cond, body, init)
+    _, trans, r_acc, g_acc, b_acc = fin[:5]
+    aux = list(fin[5:])
+    if track_consumed:
+        consumed_ref[0] = jnp.broadcast_to(aux.pop(0), (8, bs))
+    if track_hits:
+        hits_ref[...] = aux.pop(0).T.astype(jnp.int32)
 
     trans_ref[...] = trans.T
     color_ref[0, :, :] = r_acc.T
@@ -381,7 +399,7 @@ def blend_packed(
     term_eps: float = 1e-4, interpret: bool = False,
     skip_range_check: bool = False, use_exp_lut: bool = False,
     track_consumed: bool = False, ablate: str = "",
-    scan_impl: str = "roll",
+    scan_impl: str = "roll", track_hits: bool = False,
 ):
     """Run the packed blend. `binning` must have been built with
     tile_w=sub_w, tile_h=sub_h (compact payloads are detected from the
@@ -389,7 +407,10 @@ def blend_packed(
     — when track_consumed — a raw [G, bs] int32 map of the first chunk
     index at which each tile column was saturated (== the group's chunk
     count when it never saturated; position bound = group_aligned_start +
-    sat*128, the serving cutoff feedback).
+    sat*128, the serving cutoff feedback), plus — when track_hits — an
+    exact [H, W] int32 per-pixel accepted-splat count (the
+    rt_avg_nodes_per_ray analogue, gpu-sim.cc:1504-1532; one extra 0/1
+    MXU pass per chunk). Saturation-skipped chunks count no hits.
 
     ablate ("", "noscan", "noewa", "nodots", "dmaonly") disables kernel
     stages for perf ablation (tools/blend_ablation.py) — output is WRONG
@@ -416,7 +437,7 @@ def blend_packed(
         alpha_clamp=alpha_clamp, term_eps=term_eps,
         skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
         exact_dots=interpret, track_consumed=track_consumed, ablate=ablate,
-        compact=compact, scan_impl=scan_impl,
+        compact=compact, scan_impl=scan_impl, track_hits=track_hits,
     )
 
     out_specs = [
@@ -434,6 +455,10 @@ def blend_packed(
         out_specs.append(pl.BlockSpec((1, 8, bs),
                                       index_map=lambda g, ts: (g, 0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((G, 8, bs), jnp.int32))
+    if track_hits:
+        out_specs.append(pl.BlockSpec((bs, win),
+                                      index_map=lambda g, ts: (g, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((G * bs, win), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -455,7 +480,12 @@ def blend_packed(
         interpret=interpret,
     )(tile_start, binning.payload)
     color, trans = outs[0], outs[1]
-    consumed = outs[2][:, 0, :] if track_consumed else None
+    nxt = 2
+    consumed = None
+    if track_consumed:
+        consumed = outs[nxt][:, 0, :]
+        nxt += 1
+    hits = outs[nxt] if track_hits else None
 
     # subtile-major (T, WIN) -> framebuffer (H, W)
     def unshuffle(a):
@@ -466,6 +496,9 @@ def blend_packed(
             ..., :height, :width]
 
     color = jnp.transpose(unshuffle(color), (1, 2, 0))
+    res = (color, unshuffle(trans))
     if track_consumed:
-        return color, unshuffle(trans), consumed
-    return color, unshuffle(trans)
+        res = res + (consumed,)
+    if track_hits:
+        res = res + (unshuffle(hits),)
+    return res

@@ -172,3 +172,37 @@ def test_pack_rgba8_roundtrip():
     assert (w_hot >> 24) & 0xFF == 0xFF      # 9.0 → PACK_RANGE
     assert (w_hot >> 16) & 0xFF == 0x00      # -1  → 0
     assert w_hot & 0xFF == 0xFF              # 1.5 → opacity 1
+
+
+def test_exact_hits_map():
+    """cfg.exact_hits: the packed kernel's per-pixel accepted-splat count
+    must equal an independent brute-force count (every splat whose alpha
+    at the pixel clears the threshold) on a scene with no saturation —
+    the exact rt_avg_nodes_per_ray analogue on the perf path."""
+    import jax.numpy as jnp
+    from gsrt.ops.gaussian import project_gaussians
+
+    cloud, camera = random_cloud(120, seed=7, width=64, height=48)
+    # scale opacity down so no subtile saturates (term_eps skip never
+    # fires and the count is total accepted, comparable to brute force)
+    cloud = cloud._replace(opacity=cloud.opacity * 0.2)
+    cfg = RenderConfig(width=64, height=48, conic_mode="standard",
+                       tile_w=16, tile_h=16, blend_impl="packed",
+                       payload="f32", exact_hits=True)
+    out = render_tiled(cloud, camera, cfg, max_pairs=1 << 14,
+                       interpret=True)
+
+    # brute force: alpha at every (pixel, splat); quad already carries the
+    # conic (a, b, c) with g = 0.5 (a dx^2 + 2b dx dy + c dy^2)
+    depth, mean2, quad, det2, in_front = project_gaussians(
+        cloud.means, cloud.cov3d, camera, conic_mode=cfg.conic_mode,
+        cov2d_dilation=cfg.cov2d_dilation)
+    qa, qb, qc = quad[:, 0], quad[:, 1], quad[:, 2]
+    xs, ys = jnp.meshgrid(jnp.arange(64.0), jnp.arange(48.0))
+    dx = xs[..., None] - mean2[:, 0]
+    dy = ys[..., None] - mean2[:, 1]
+    g = 0.5 * (qa * dx * dx + 2 * qb * dx * dy + qc * dy * dy)
+    alpha = jnp.where(in_front & (g <= cfg.g_cutoff),
+                      jnp.minimum(cloud.opacity * jnp.exp(-g), 0.99), 0.0)
+    ref = jnp.sum(alpha > cfg.alpha_threshold, axis=-1)
+    np.testing.assert_array_equal(np.asarray(out.hits), np.asarray(ref))
