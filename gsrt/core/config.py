@@ -94,6 +94,14 @@ class RenderConfig:
                                 # MXU matmul (hi/lo bf16 split). logmm
                                 # measured 95.7 vs 105.9 ms/frame on v5e
                                 # (1M @1080p); image delta 1.1e-4.
+    blend_math: Literal["f32", "bf16"] = "f32"
+                                # packed-kernel elementwise math tier:
+                                # "bf16" halves the VPU vregs of the
+                                # (win, 128) EWA/alpha math and drops the
+                                # lo residual of the value-side MXU
+                                # contractions (~1e-2-class color error,
+                                # the compact payload's order); trans
+                                # carries and the scan log/exp stay f32
     payload: Literal["f32", "compact"] = "compact"
                                 # pair-payload precision for the packed
                                 # blend path: "compact" packs mean (u16

@@ -80,7 +80,7 @@ def _blend_packed_kernel(
     term_eps: float, skip_range_check: bool, use_exp_lut: bool,
     exact_dots: bool, track_consumed: bool = False, ablate: str = "",
     compact: bool = False, scan_impl: str = "roll",
-    track_hits: bool = False,
+    track_hits: bool = False, math_dtype: str = "f32",
 ):
     rest = list(rest)
     consumed_ref = rest.pop(0) if track_consumed else None
@@ -105,10 +105,15 @@ def _blend_packed_kernel(
     def _():
         dma(0, 0).start()
 
+    half = math_dtype == "bf16"
+    mdt = jnp.bfloat16 if half else jnp.float32
+
     # constants hoisted out of the chunk loop
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
     xloc = (p_idx % sub_w).astype(jnp.float32)          # (win, 1)
     yloc = (p_idx // sub_w).astype(jnp.float32)
+    xloc_m = xloc.astype(mdt)      # exact: subtile coords are small ints
+    yloc_m = yloc.astype(mdt)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     krow = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
     ones_lane = jnp.ones((1, LANES), jnp.float32)
@@ -131,27 +136,44 @@ def _blend_packed_kernel(
         precision=(jax.lax.Precision.HIGHEST if exact_dots
                    else jax.lax.Precision.DEFAULT))
     acc_dtype = jnp.float32 if exact_dots else jnp.bfloat16
-
+    # bf16 math tier: the kernel is VPU-bound on the (win, 128) f32
+    # elementwise EWA/alpha math (~32 vregs per op at win=256); bf16 packs
+    # two lanes per vreg slot, halving those ops, and lets the value-side
+    # MXU contractions drop the lo residual pass (single bf16 pass instead
+    # of the hi/lo split — 0.4% relative, inside this tier's bound). The
+    # transmittance carries, the scan log/exp, and the per-segment total
+    # update stay f32: trans multiplies ~4 chunk totals deep per subtile
+    # and term_eps = 1e-4 comparisons need the headroom.
     def _split(a):
         if exact_dots:
-            return a, None
+            return a.astype(jnp.float32), None
         hi = a.astype(jnp.bfloat16)
-        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if half:                       # tier bound absorbs the residual
+            return hi, None
+        lo = (a.astype(jnp.float32) - hi.astype(jnp.float32)
+              ).astype(jnp.bfloat16)
         return hi, lo
 
-    def _dot2(a, b16, d):
+    def _dot2(a, b16, d, exact=False):
+        if exact and not exact_dots:
+            # full hi/lo split regardless of tier (trans carry update)
+            hi = a.astype(jnp.bfloat16)
+            lo = (a.astype(jnp.float32) - hi.astype(jnp.float32)
+                  ).astype(jnp.bfloat16)
+            return mm(hi, b16, d) + mm(lo, b16, d)
         hi, lo = _split(a)
         out = mm(hi, b16, d)
         return out if lo is None else out + mm(lo, b16, d)
 
-    def dot_split(a, b16):
+    def dot_split(a, b16, exact=False):
         # contract a's last axis with b16's FIRST axis; b16 is 0/1
-        return _dot2(a, b16, (((a.ndim - 1,), (0,)), ((), ())))
+        return _dot2(a, b16, (((a.ndim - 1,), (0,)), ((), ())), exact)
 
-    def dot_lanes_split(a, b16):
+    def dot_lanes_split(a, b16, exact=False):
         # contract the shared last (lane) axis — a @ b16.T without the
         # in-kernel transpose
-        return _dot2(a, b16, (((a.ndim - 1,), (b16.ndim - 1,)), ((), ())))
+        return _dot2(a, b16, (((a.ndim - 1,), (b16.ndim - 1,)), ((), ())),
+                     exact)
 
     def body(state):
         j, trans, r_acc, g_acc, b_acc, *aux = state
@@ -214,16 +236,20 @@ def _blend_packed_kernel(
                     return jnp.where((w16 & 0x8000) != 0, coarse, fine)
 
                 w0 = pay_i_all[0:1, :]
-                mean_x = mean_axis((w0 >> 16) & 0xFFFF)
-                mean_y = mean_axis(w0 & 0xFFFF)
+                mean_x = mean_axis((w0 >> 16) & 0xFFFF).astype(mdt)
+                mean_y = mean_axis(w0 & 0xFFFF).astype(mdt)
                 w1 = pay_i_all[1:2, :]
-                l11 = pltpu.bitcast(w1 & jnp.int32(-65536), jnp.float32)
-                l21 = pltpu.bitcast(w1 << 16, jnp.float32)
+                # Cholesky rows were PACKED as bf16 — the mdt cast is exact
+                l11 = pltpu.bitcast(w1 & jnp.int32(-65536),
+                                    jnp.float32).astype(mdt)
+                l21 = pltpu.bitcast(w1 << 16, jnp.float32).astype(mdt)
                 l22 = pltpu.bitcast(pay_i_all[2:3, :] & jnp.int32(-65536),
-                                    jnp.float32)
-                # mean is TILE-relative: the tile-origin term cancels
-                dx = xloc - mean_x                     # (win, LANES)
-                dy = yloc - mean_y
+                                    jnp.float32).astype(mdt)
+                # mean is TILE-relative: the tile-origin term cancels, and
+                # |dx| stays tile-scale — bf16's 8-bit mantissa holds ~0.04
+                # px at a 10 px offset (inside this tier's 1e-2 bound)
+                dx = xloc_m - mean_x                   # (win, LANES)
+                dy = yloc_m - mean_y
                 # rgba8888: two-tier 8-bit colors + u8 opacity
                 # (tile_binning.pack_rgba8)
                 w3 = pay_i_all[3:4, :]
@@ -236,23 +262,26 @@ def _blend_packed_kernel(
                                      mag * COLOR8_FINE)
 
                 cr, cg, cb = color8(24), color8(16), color8(8)
-                op = (w3 & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+                op = ((w3 & 0xFF).astype(jnp.float32)
+                      * (1.0 / 255.0)).astype(mdt)
             else:
                 ox = ((s_tile % ntx) * sub_w).astype(jnp.float32)
                 oy = ((s_tile // ntx) * sub_h).astype(jnp.float32)
                 mean_x = pay[0:1, :]
                 mean_y = pay[1:2, :]
-                qa = pay[2:3, :]
-                qb = pay[3:4, :]
-                qc = pay[4:5, :]
+                qa = pay[2:3, :].astype(mdt)
+                qb = pay[3:4, :].astype(mdt)
+                qc = pay[4:5, :].astype(mdt)
                 rg = pay_i_all[5:6, :]
                 bo = pay_i_all[6:7, :]
-                dx = (xloc + ox) - mean_x              # (win, LANES)
-                dy = (yloc + oy) - mean_y
+                # absolute-coordinate dx needs f32 (screen coords up to
+                # ~2K don't fit bf16's mantissa); cast the small result
+                dx = ((xloc + ox) - mean_x).astype(mdt)  # (win, LANES)
+                dy = ((yloc + oy) - mean_y).astype(mdt)
                 cr = ((rg >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
                 cg = (rg & 0x7FFF).astype(jnp.float32) * inv_q
                 cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
-                op = (bo & 0x7FFF).astype(jnp.float32) * inv_q
+                op = ((bo & 0x7FFF).astype(jnp.float32) * inv_q).astype(mdt)
             if compact:
                 t1 = l11 * dx + l21 * dy
                 t2 = l22 * dy
@@ -265,16 +294,22 @@ def _blend_packed_kernel(
 
             # no liveness mask: out-of-group lanes match no one-hot column,
             # so their (real) alphas never touch a carry
-            expf = _exp_neg_lut if use_exp_lut else lambda v: jnp.exp(-v)
+            if use_exp_lut:
+                # the LUT's segment arithmetic manipulates f32 bits
+                expf = lambda v: _exp_neg_lut(v.astype(jnp.float32))
+            else:
+                expf = lambda v: jnp.exp(-v)
             if skip_range_check:
                 alpha = jnp.minimum(op * expf(gq), alpha_clamp)
                 accept = alpha > alpha_threshold
             else:
                 in_range = (gq >= 0.0) & (gq <= g_cutoff)
-                alpha = op * expf(jnp.where(in_range, gq, 0.0))
+                alpha = op * expf(jnp.where(in_range, gq,
+                                            jnp.zeros((), gq.dtype)))
                 alpha = jnp.minimum(alpha, alpha_clamp)
                 accept = in_range & (alpha > alpha_threshold)
-            alpha = jnp.where(accept, alpha, 0.0)
+            # carries, scan, and weights run f32 from here
+            alpha = jnp.where(accept, alpha, 0.0).astype(jnp.float32)
 
             one_minus = 1.0 - alpha
 
@@ -338,7 +373,10 @@ def _blend_packed_kernel(
             last = (s_tile != nxt) | (lane == LANES - 1)       # (1, LANES)
             onehot_last = onehot * last.astype(acc_dtype)
             incl = jnp.concatenate([excl * one_minus, ones_lane], axis=0)
-            cols = dot_lanes_split(incl, onehot_last)          # (win+1, bs)
+            # exact hi/lo even in the bf16 tier: trans multiplies a chunk
+            # total per chunk (~4 deep per subtile) and gates term_eps
+            cols = dot_lanes_split(incl, onehot_last, exact=True)
+            # (win+1, bs)
             seg_tot = cols[:win]
             has = cols[win:]                                   # (1, bs)
             trans = trans * jnp.where(has > 0, seg_tot, 1.0)
@@ -400,6 +438,7 @@ def blend_packed(
     skip_range_check: bool = False, use_exp_lut: bool = False,
     track_consumed: bool = False, ablate: str = "",
     scan_impl: str = "roll", track_hits: bool = False,
+    math_dtype: str = "f32",
 ):
     """Run the packed blend. `binning` must have been built with
     tile_w=sub_w, tile_h=sub_h (compact payloads are detected from the
@@ -414,7 +453,14 @@ def blend_packed(
 
     ablate ("", "noscan", "noewa", "nodots", "dmaonly") disables kernel
     stages for perf ablation (tools/blend_ablation.py) — output is WRONG
-    in any non-"" mode; "nodots" additionally assumes bs == 128."""
+    in any non-"" mode; "nodots" additionally assumes bs == 128.
+
+    math_dtype="bf16" runs the EWA/alpha elementwise math in bfloat16 and
+    drops the lo pass of the value-side MXU contractions (~1e-2-class
+    color error, same order as the compact payload tier); transmittance
+    carries, the scan's log/exp, and the per-segment total update stay
+    f32. Under interpret=True the dots are exact-f32 either way, so CPU
+    tests exercise the bf16 elementwise path only."""
     win = sub_w * sub_h
     assert win % 128 == 0, "subtile pixel count must be a multiple of 128"
     assert bs % 8 == 0, "Mosaic output blocks need sublane dims % 8 == 0"
@@ -438,6 +484,7 @@ def blend_packed(
         skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
         exact_dots=interpret, track_consumed=track_consumed, ablate=ablate,
         compact=compact, scan_impl=scan_impl, track_hits=track_hits,
+        math_dtype=math_dtype,
     )
 
     out_specs = [

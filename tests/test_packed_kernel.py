@@ -109,6 +109,30 @@ def test_compact_payload_matches_f32(expand_impl):
     assert np.abs(cf - np.asarray(a.color)).max() < 2e-2
 
 
+@pytest.mark.parametrize("payload", ["f32", "compact"])
+def test_bf16_math_tier(payload):
+    """blend_math="bf16" is a documented ~1e-2-class fast tier: the EWA/
+    alpha elementwise math runs in bfloat16 (splat_packed math_dtype).
+    Interpret mode exercises the bf16 elementwise path (the MXU dots stay
+    exact-f32 under interpret — see the kernel docstring), so this bounds
+    the bf16 EWA error against the f32-math tier and render_fast."""
+    cloud, camera = random_cloud(400, seed=7, width=128, height=96)
+    base = RenderConfig(width=128, height=96, conic_mode="standard",
+                        tile_w=16, tile_h=8, blend_impl="packed",
+                        payload=payload)
+    f = render_tiled(cloud, camera, base, max_pairs=1 << 15, interpret=True)
+    h = render_tiled(cloud, camera, base.replace(blend_math="bf16"),
+                     max_pairs=1 << 15, interpret=True)
+    hf, ff = np.asarray(h.color), np.asarray(f.color)
+    # bf16's 8-bit mantissa puts ~0.4-1.6% relative error on alpha (worst
+    # at the g≈5.6 cutoff tail); measured max ≈ 2.9e-2, typical ~1e-4
+    assert np.abs(hf - ff).max() < 4e-2
+    assert np.abs(np.asarray(h.trans) - np.asarray(f.trans)).max() < 4e-2
+    assert np.abs(hf - ff).mean() < 2e-3
+    a = render_fast(cloud, camera, base)
+    assert np.abs(hf - np.asarray(a.color)).max() < 5e-2
+
+
 def test_compact_payload_serving_depth_carry():
     """carry_depth (serving mode) must survive the compact payload: the
     pair depth rides the low bf16 half of the qcd word."""
