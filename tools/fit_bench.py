@@ -1,0 +1,189 @@
+"""End-to-end fit benchmark at the BASELINE.json training config.
+
+Closes the loop "gsrt can produce the .ply the reference consumes" with
+numbers: synthesize a posed capture from a known Gaussian cloud, write it
+in the exact COLMAP layout `cli fit` consumes (sparse/0 text model +
+images/, gsrt.scene.colmap.write_text_model), fit through adaptive
+densification (gsrt.models.multiview.fit_views — the INRIA schedule
+shape), and record holdout PSNR + steady-state step time as a JSON row.
+
+BASELINE.md config: "~100K-splat ray-traced 3DGS with k=16 and SH-3
+color" — the fit densifies from SfM-point init toward --max-gaussians,
+and the step-time probe re-times the jitted train step at the final
+splat count (compile excluded).
+
+    python tools/fit_bench.py --iters 2000 --out docs/fit_bench.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# honor JAX_PLATFORMS even when a site plugin (axon TPU) prepends itself
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import numpy as np
+
+
+def synthesize_capture(root: str, *, n_gt: int, n_views: int,
+                       width: int, height: int, seed: int = 0):
+    """Ground-truth cloud -> orbit renders -> COLMAP text capture."""
+    from gsrt.core.config import RenderConfig
+    from gsrt.core.types import look_at, make_camera
+    from gsrt.models.gaussian_rt import render_fast
+    from gsrt.scene.catalog import random_cloud
+    from gsrt.scene.colmap import (ColmapCamera, ColmapImage, ColmapModel,
+                                   write_text_model)
+    from gsrt.utils.image import save_png
+
+    extent = 2.5
+    cloud, _ = random_cloud(n_gt, seed=seed, extent=extent,
+                            scale_range=(0.04, 0.18),
+                            width=width, height=height)
+    center = np.asarray(cloud.means).mean(0)
+    radius = float(np.abs(np.asarray(cloud.means) - center).max()) * 2.2
+
+    cfg = RenderConfig(width=width, height=height, conic_mode="standard")
+    rng = np.random.default_rng(seed + 1)
+    cams, images = [], []
+    imdir = os.path.join(root, "images")
+    os.makedirs(imdir, exist_ok=True)
+    render = jax.jit(lambda c: render_fast(cloud, c, cfg).color)
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        # two elevation rings so the fit sees parallax in y
+        h = radius * (0.25 if i % 2 else -0.1)
+        eye = center + np.array([radius * np.cos(ang), h,
+                                 radius * np.sin(ang)])
+        view = look_at(eye, center).astype(np.float32)
+        cam = make_camera(view, 50.0, width, height)
+        cams.append(cam)
+        name = f"im_{i:03d}.png"
+        save_png(os.path.join(imdir, name), np.asarray(render(cam)))
+        images.append(ColmapImage(name=name, camera_id=1, view=view))
+
+    # SfM points: noisy subsample of the GT means, DC-term colors —
+    # what a real SfM front-end would hand the trainer
+    means = np.asarray(cloud.means)
+    sh0 = np.asarray(cloud.sh[:, 0, :])
+    pick = rng.choice(n_gt, size=min(5000, n_gt), replace=False)
+    pts = means[pick] + rng.normal(0, 0.01 * extent, (len(pick), 3))
+    cols = np.clip(sh0[pick] * 0.2820948 + 0.5, 0, 1)
+    c0 = cams[0]
+    model = ColmapModel(
+        cameras={1: ColmapCamera("PINHOLE", width, height,
+                                 float(c0.fx), float(c0.fy),
+                                 width / 2.0, height / 2.0)},
+        images=images, points=pts.astype(np.float32),
+        colors=cols.astype(np.float32))
+    write_text_model(os.path.join(root, "sparse", "0"), model)
+    return extent
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", type=str, default="/tmp/gsrt_fit_capture")
+    ap.add_argument("--gt-splats", type=int, default=40_000)
+    ap.add_argument("--views", type=int, default=28)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--holdout", type=int, default=7,
+                    help="every 7th view held out (INRIA llffhold=8 shape)")
+    ap.add_argument("--densify-every", type=int, default=300)
+    ap.add_argument("--max-gaussians", type=int, default=120_000)
+    ap.add_argument("--opacity-reset-every", type=int, default=900)
+    ap.add_argument("--fresh", action="store_true",
+                    help="re-synthesize the capture even if --dir exists")
+    ap.add_argument("--save-ply", type=str, default=None)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.fresh and os.path.isdir(args.dir):
+        shutil.rmtree(args.dir)
+    if not os.path.isdir(os.path.join(args.dir, "sparse", "0")):
+        t0 = time.perf_counter()
+        synthesize_capture(args.dir, n_gt=args.gt_splats,
+                           n_views=args.views, width=args.width,
+                           height=args.height)
+        print(f"capture synthesized in {time.perf_counter() - t0:.1f}s "
+              f"-> {args.dir}", file=sys.stderr)
+
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.multiview import fit_views, viewset_from_colmap
+
+    vs, params, extent = viewset_from_colmap(
+        args.dir, os.path.join(args.dir, "images"))
+    cfg = RenderConfig(width=vs.width, height=vs.height,
+                       conic_mode="standard")
+    n_init = int(params.means.shape[0])
+
+    t0 = time.perf_counter()
+    params, rep = fit_views(
+        vs, params, cfg, iters=args.iters, holdout=args.holdout,
+        densify_every=args.densify_every, scene_scale=extent,
+        opacity_reset_every=args.opacity_reset_every,
+        max_splats=args.max_gaussians, seed=0,
+        log_every=max(1, args.iters // 10))
+    fit_wall = time.perf_counter() - t0
+
+    # steady-state step time at the FINAL splat count: re-run the jitted
+    # train step on one view, compile + warm excluded
+    from gsrt.models.densify import init_stats
+    from gsrt.models.multiview import make_train_step_mv
+    from gsrt.models.trainer import make_optimizer
+    optimizer = make_optimizer(lr_means=1.6e-4 * extent)
+    opt_state = optimizer.init(params)
+    stats = init_stats(params.means.shape[0])
+    step = make_train_step_mv(cfg, optimizer, 0.2)
+    out = step(params, opt_state, stats, vs, 0)
+    jax.block_until_ready(out[0].means)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(params, opt_state, stats, vs, 0)
+    jax.block_until_ready(out[0].means)
+    step_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    if args.save_ply:
+        from gsrt.scene.ply import save_gaussian_ply
+        import jax.numpy as jnp
+        save_gaussian_ply(args.save_ply, params.means, params.quats,
+                          jnp.exp(params.log_scales),
+                          jax.nn.sigmoid(params.opacity_logit), params.sh)
+
+    row = {
+        "workload": "fit_colmap_synthetic",
+        "gt_splats": args.gt_splats, "views": vs.n_views,
+        "width": vs.width, "height": vs.height,
+        "iters": args.iters, "init_points": n_init,
+        "final_splats": rep.n_splats,
+        "train_psnr_db": round(rep.train_psnr, 2),
+        "test_psnr_db": round(rep.test_psnr, 2),
+        "fit_wall_s": round(fit_wall, 1),
+        "step_ms_at_final": round(step_ms, 2),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(row))
+    if args.out:
+        try:
+            rows = json.load(open(args.out))
+        except (FileNotFoundError, json.JSONDecodeError):
+            rows = []
+        rows.append(row)
+        json.dump(rows, open(args.out, "w"), indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,5 +1,6 @@
 """End-to-end frame-time sweep over the opt-in perf tiers at the headline
-workload: expand_impl x payload x span_mode x scan_impl. Prints a ranked
+workload: expand_impl x payload x span_mode x scan_impl x blend_math.
+Prints a ranked
 table; the winner becomes the default config.
 
 Each config runs in its OWN subprocess: the axon runtime raises
@@ -8,8 +9,9 @@ executable ran in-process (tools/tpu_smoke.py docstring), which killed
 the first in-process version of this sweep after one config.
 
 Usage: python tools/tier_compare.py [N] [W] [H]
-       python tools/tier_compare.py --quick   (pallas/fused x f32/compact only)
-       python tools/tier_compare.py --one expand payload span scan [N W H]
+       python tools/tier_compare.py --quick   (pallas/fused x f32/compact
+                                               x f32/bf16 math, logmm only)
+       python tools/tier_compare.py --one expand payload span scan math [N W H]
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ IMG_DIR = "/tmp/gsrt_tier_imgs"
 
 
 def run_one(expand: str, payload: str, span: str, scan: str,
-            N: int, W: int, H: int) -> None:
+            math: str, N: int, W: int, H: int) -> None:
     import jax
     import numpy as np
 
@@ -42,7 +44,7 @@ def run_one(expand: str, payload: str, span: str, scan: str,
 
     cfg = RenderConfig(width=W, height=H, conic_mode="standard",
                        expand_impl=expand, payload=payload,
-                       span_mode=span, scan_impl=scan)
+                       span_mode=span, scan_impl=scan, blend_math=math)
     tracer = GaussianRayTracer(cfg, "tiled")
     mp = tracer.calibrate(cloud, camera)
     render = functools.partial(render_tiled, cfg=cfg, max_pairs=mp,
@@ -60,7 +62,8 @@ def run_one(expand: str, payload: str, span: str, scan: str,
     float(step(fm, camera))
     img = np.asarray(frame(fm, camera))
     os.makedirs(IMG_DIR, exist_ok=True)
-    np.save(os.path.join(IMG_DIR, f"{expand}-{payload}-{span}-{scan}.npy"),
+    np.save(os.path.join(
+        IMG_DIR, f"{expand}-{payload}-{span}-{scan}-{math}.npy"),
             img[:: max(1, H // 128), :: max(1, W // 128)])
 
     K = 10
@@ -80,10 +83,10 @@ def run_one(expand: str, payload: str, span: str, scan: str,
 def main() -> None:
     if "--one" in sys.argv:
         i = sys.argv.index("--one")
-        expand, payload, span, scan = sys.argv[i + 1:i + 5]
-        rest = [int(a) for a in sys.argv[i + 5:i + 8]]
+        expand, payload, span, scan, math = sys.argv[i + 1:i + 6]
+        rest = [int(a) for a in sys.argv[i + 6:i + 9]]
         N, W, H = (rest + [1_000_000, 1920, 1080][len(rest):])[:3]
-        run_one(expand, payload, span, scan, N, W, H)
+        run_one(expand, payload, span, scan, math, N, W, H)
         return
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -98,14 +101,15 @@ def main() -> None:
         ["pallas", "fused"],
         ["f32", "compact"],
         ["rect"] if quick else ["rect", "ellipse"],
-        ["roll"] if quick else ["roll", "logmm"]))
+        ["logmm"] if quick else ["roll", "logmm"],
+        ["f32", "bf16"]))
 
     ref_img = None
     rows = []
-    for expand, payload, span, scan in grid:
-        name = f"{expand}/{payload}/{span}/{scan}"
+    for expand, payload, span, scan, math in grid:
+        name = f"{expand}/{payload}/{span}/{scan}/{math}"
         cmd = [sys.executable, os.path.abspath(__file__), "--one",
-               expand, payload, span, scan, str(N), str(W), str(H)]
+               expand, payload, span, scan, math, str(N), str(W), str(H)]
         p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
         result = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
         if p.returncode != 0 or not result:
@@ -117,7 +121,7 @@ def main() -> None:
         dt_ms, mp = result[-1].split()[1:3]
         dt = float(dt_ms) / 1e3
         img = np.load(os.path.join(
-            IMG_DIR, f"{expand}-{payload}-{span}-{scan}.npy"))
+            IMG_DIR, f"{expand}-{payload}-{span}-{scan}-{math}.npy"))
         if ref_img is None:
             ref_img = img
         err = float(np.abs(img - ref_img).max())
