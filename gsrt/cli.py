@@ -269,6 +269,13 @@ def cmd_bench(args) -> int:
                              float(plan.total) / nb, 1),
                          "prim_tests_per_ray": round(
                              float(plan.total) * 8 * 128 / R, 1)}
+                if plan.actual is not None:
+                    # EXECUTED visits: the front-to-back early exit +
+                    # best-t bound stop blocks well short of the plan
+                    act = float(plan.actual.mean())
+                    stats["sup_visits_actual_per_block"] = round(act, 1)
+                    stats["prim_tests_per_ray_max"] = round(
+                        act * 8 * 128 / 512, 1)
             else:
                 scene = with_tri_clusters(scene)
         pk = {}

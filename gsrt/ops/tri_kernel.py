@@ -123,6 +123,13 @@ class VisitPlan(NamedTuple):
                               #      non-negative f32 (order-preserving)
     total: jnp.ndarray        # [] int32 visits before capping
     overflow: jnp.ndarray     # [] bool
+    actual: jnp.ndarray | None = None
+                              # [B] int32 — super-cluster visits each block
+                              #      actually EXECUTED before the front-to-
+                              #      back early exit (closest_hit_packed
+                              #      fills this; plan_visits leaves None).
+                              #      The dynamic rt_avg_nodes_per_ray
+                              #      analogue; `total` is the static plan.
 
 
 def plan_visits(orig, dirn, t_min, t_max, sup_min, sup_max,
@@ -270,6 +277,8 @@ def _tri_kernel(
     buf,                   # [2, K, 128] VMEM
     bt_ref,                # [1, RB] VMEM running best t
     bi_ref,                # [1, RB] VMEM running best slot
+    vc_ref,                # [1, RB] VMEM executed-visit counter (f32,
+                           #         lane-replicated; row 2 of the output)
     sem,                   # DMA semaphores (2,)
     *,
     rb: int,
@@ -286,6 +295,7 @@ def _tri_kernel(
     # scratch persists across grid steps — re-init per block
     bt_ref[...] = jnp.full((1, rb), jnp.inf)
     bi_ref[...] = jnp.zeros((1, rb), jnp.int32)
+    vc_ref[...] = jnp.zeros((1, rb), jnp.float32)
 
     def dma(slot, j):
         c = visit_ref[v0i + j]
@@ -346,6 +356,7 @@ def _tri_kernel(
         dma(slot, j).wait()
         tile = buf[slot]                           # (K, 128)
         c = visit_ref[v0i + j]
+        vc_ref[...] = vc_ref[...] + 1.0            # executed-visit count
 
         for cj in range(SUP):
             base_l = cj * FEAT
@@ -425,7 +436,9 @@ def _tri_kernel(
         jnp.where(row == 1,
                   jnp.broadcast_to(pltpu.bitcast(bi_ref[...], jnp.float32),
                                    (8, rb)),
-                  0.0))
+                  jnp.where(row == 2,
+                            jnp.broadcast_to(vc_ref[...], (8, rb)),
+                            0.0)))
 
 
 def closest_hit_packed(tt: TriTable, orig, dirn, t_min, t_max,
@@ -501,6 +514,7 @@ def closest_hit_packed(tt: TriTable, orig, dirn, t_min, t_max,
             pltpu.VMEM((2, K, 128), jnp.float32),
             pltpu.VMEM((1, rb), jnp.float32),
             pltpu.VMEM((1, rb), jnp.int32),
+            pltpu.VMEM((1, rb), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -516,4 +530,5 @@ def closest_hit_packed(tt: TriTable, orig, dirn, t_min, t_max,
     slot = jax.lax.bitcast_convert_type(out[:, 1, :], jnp.int32)
     slot = slot.reshape(Rp)[:R]
     hit = jnp.isfinite(t)
+    plan = plan._replace(actual=out[:, 2, 0].astype(jnp.int32))
     return t, slot, hit, plan
