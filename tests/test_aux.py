@@ -6,6 +6,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsrt.core.config import RenderConfig
 from gsrt.scene.catalog import demo_gauss_splat, random_cloud
@@ -82,6 +83,7 @@ def test_mandelbulb_de_and_march():
     assert not np.isfinite(np.asarray(t2))[0, 0]
 
 
+@pytest.mark.slow
 def test_foveated_sample_rings():
     from gsrt.models.path_tracer import render_foveated
     from gsrt.scene.primitives_catalog import cube_and_spheres

@@ -6,6 +6,7 @@ Reference role: the 2-level BVH traversal
 tree scanned per ray bundle."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -94,6 +95,7 @@ def test_work_skipping_for_coherent_bundle():
     assert int(leaf_n) < total_leaf_work // 2
 
 
+@pytest.mark.slow
 def test_path_tracer_integration():
     """render_path_traced with clusters attached matches without."""
     from gsrt.core.config import RenderConfig

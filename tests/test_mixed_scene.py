@@ -4,6 +4,7 @@ hit group 4 beside triangles/procedurals, Application.cpp:253-398;
 closed by VERDICT round-1 item 5)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gsrt.core.config import RenderConfig
@@ -33,6 +34,7 @@ def _mirror_scene():
     return b.build(), cam
 
 
+@pytest.mark.slow
 def test_splat_visible_to_primary_rays():
     """An opaque red splat between camera and mirror tints/attenuates."""
     scene, cam = _mirror_scene()
@@ -79,6 +81,7 @@ def test_empty_cloud_is_identity():
     np.testing.assert_allclose(base, mixed, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_occlusion_bounds_splat_segment():
     """A splat BEHIND an opaque wall must not contribute (per-ray t_max
     clamps the medium segment at the surface hit)."""

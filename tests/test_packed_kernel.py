@@ -38,6 +38,7 @@ def test_packed_matches_fast(tw, th):
     _cmp(cloud, camera, cfg, max_pairs=1 << 14)
 
 
+@pytest.mark.slow
 def test_packed_matches_fast_lut():
     cloud, camera = random_cloud(120, seed=5, width=64, height=48)
     cfg = RenderConfig(width=64, height=48, conic_mode="standard",
@@ -50,6 +51,7 @@ def test_packed_matches_fast_lut():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_packed_vs_subtile_many_small_segments():
     """Dense tiny subtiles -> single chunks hold many segments, groups have
     empty subtiles and misaligned starts. The packed and subtile kernels
@@ -68,6 +70,7 @@ def test_packed_vs_subtile_many_small_segments():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_empty_tiles_background():
     from gsrt.core.types import GaussianCloud, make_camera, look_at
     from gsrt.ops.gaussian import quat_scale_to_cov3d
@@ -86,6 +89,7 @@ def test_packed_empty_tiles_background():
     assert (t <= 1.0 + 1e-6).all() and (t >= 0).all()
     assert t[0, 0] == 1.0 and t[-1, -1] == 1.0
 
+@pytest.mark.slow
 @pytest.mark.parametrize("expand_impl", ["xla", "pallas"])
 def test_compact_payload_matches_f32(expand_impl):
     """The compact (int32-packed) payload is a documented fast tier:
@@ -109,6 +113,7 @@ def test_compact_payload_matches_f32(expand_impl):
     assert np.abs(cf - np.asarray(a.color)).max() < 2e-2
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("payload", ["f32", "compact"])
 def test_bf16_math_tier(payload):
     """blend_math="bf16" is a documented ~1e-2-class fast tier: the EWA/

@@ -8,6 +8,7 @@ dielectric transparency, Cornell-box illumination.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsrt.core.config import RenderConfig
 from gsrt.models.path_tracer import (
@@ -88,6 +89,7 @@ def test_cornell_box_light_illuminates():
     assert right[0] > right[1], f"right wall should be red-ish {right}"
 
 
+@pytest.mark.slow
 def test_shadow_rays_darker_in_shadow():
     scene, camera, extra = cube_and_spheres(32, 24)
     cfg = RenderConfig(width=32, height=24, shadow_rays=4)

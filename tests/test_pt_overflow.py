@@ -7,6 +7,7 @@ re-render (the reference instead sizes its warp tables permanently,
 intersection_table.h:42)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gsrt.core.config import RenderConfig
@@ -33,6 +34,7 @@ def _tri_scene():
     return b.build(), cam, cfg
 
 
+@pytest.mark.slow
 def test_binned_pairs_overflow_flag():
     scene, cam, cfg = _tri_scene()
     _, flags = render_path_traced(scene, cam, cfg, seed=0,
@@ -61,6 +63,7 @@ def test_shadow_ao_flags_surface():
     assert bool(f_ao["binned_pairs_overflow"])
 
 
+@pytest.mark.slow
 def test_gauss_overflow_flag_and_calibration():
     """A clustered splat medium with a starved s_max must (a) raise
     gauss_visits_overflow and (b) converge to the ample-budget image when
@@ -89,6 +92,7 @@ def test_gauss_overflow_flag_and_calibration():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_calibration_grows_pair_buffer():
     """The moved/zoomed-camera scenario: a pair budget calibrated for one
     view truncates on another; the wrapper must re-render past it."""

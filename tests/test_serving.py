@@ -43,6 +43,7 @@ def _dense_cloud(n=1500, seed=7):
                         scale_range=(0.3, 0.7))
 
 
+@pytest.mark.slow
 def test_serving_flag_is_passive_on_frame_one():
     cloud, camera = _dense_cloud()
     cfg = _cfg()
@@ -84,6 +85,7 @@ def test_cutoff_cull_conservative_vs_exact():
             assert keep[s], f"conservative cull dropped needed splat {s}"
 
 
+@pytest.mark.slow
 def test_static_camera_converges_with_cull():
     cloud, camera = _dense_cloud()
     cfg = _cfg()
@@ -158,6 +160,7 @@ def test_camera_paths():
     assert np.allclose(p1, (0, 0, -2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_serving_with_ellipse_and_compact():
     """Serving (carry_depth + cutoff cull) composes with the ellipse-span
     and compact-payload tiers: frame-1 parity and a working cull frame."""

@@ -87,6 +87,7 @@ def test_clustered_ragged_ray_count():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_clustered_mixed_scene_parity():
     """The path tracer's bounce compositing must be identical whether the
     cloud is traced brute-force or through clusters (no plan overflow)."""

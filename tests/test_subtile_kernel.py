@@ -31,6 +31,7 @@ def test_subtile_matches_fast(tw, th):
     _cmp(cloud, camera, cfg, max_pairs=1 << 15)
 
 
+@pytest.mark.slow
 def test_subtile_row_spanning_groups():
     """width=48 -> ntx=3 subtiles per row at 16px: a BS=4 group spans the
     framebuffer row boundary; per-subtile (ty, tx) math must stay exact.
@@ -54,6 +55,7 @@ def test_subtile_row_spanning_groups():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_subtile_reference_conic_mode():
     cloud, camera = demo_gauss_splat(width=128, height=16)
     cfg = RenderConfig(width=128, height=16, conic_mode="reference",

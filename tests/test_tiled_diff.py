@@ -69,6 +69,7 @@ def test_grads_match_render_fast(tile):
             err_msg=f"grad mismatch on {name} at tile {tile}")
 
 
+@pytest.mark.slow
 def test_training_step_decreases_loss():
     """One Adam step on the tiled-diff loss must reduce L1 to a target."""
     import optax

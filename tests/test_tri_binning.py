@@ -173,6 +173,7 @@ def test_binned_primary_on_reference_scene():
     np.testing.assert_allclose(t_bin[hit], t_ref[hit], rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_binned_primary_with_gaussians():
     """primary_impl='binned' composes with mixed splat+mesh scenes (the
     splat compositing is orthogonal to bounce-0's triangle machinery)."""
@@ -200,6 +201,7 @@ def test_binned_primary_with_gaussians():
     np.testing.assert_allclose(c, a, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_exact_spans_subset_and_parity():
     """span_exact: fewer pairs (scanline clip vs AABB rect), identical
     cast result (skipped tiles contain no covered sample)."""

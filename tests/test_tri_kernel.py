@@ -25,6 +25,7 @@ def _soup(n, spread, tri_size, seed):
     return v0, v1, v2
 
 
+@pytest.mark.slow
 def test_tri_kernel_matches_bruteforce():
     v0, v1, v2 = _soup(700, 1.0, 0.1, 0)
     tt = build_tri_table(v0, v1, v2, jnp.zeros((700,), jnp.int32))
@@ -156,6 +157,7 @@ def test_tri_kernel_any_hit_mode():
     np.testing.assert_allclose(tk, t_of_tri, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_path_tracer_integration_tri_table():
     """render_path_traced with the packed table matches the un-accelerated
     render bit-for-bit up to traversal tie-breaks."""
