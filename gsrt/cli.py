@@ -446,6 +446,44 @@ def cmd_orbit(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Interactive browser viewer (ModelViewController + UserInterface
+    rebuilt headless — gsrt/viewer): WASD fly, mouse look, live fps /
+    Mrays/s overlay, heatmap toggle, served over HTTP."""
+    from gsrt.core.config import RenderConfig
+    from gsrt.core.types import make_camera, look_at
+    from gsrt.viewer.server import ViewerServer
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       conic_mode="standard", use_exp_lut=args.exp_lut)
+    if args.ply:
+        from gsrt.scene.ply import load_gaussian_ply
+        cloud = load_gaussian_ply(args.ply)
+        center = np.asarray(cloud.means).mean(0)
+        radius = float(
+            np.abs(np.asarray(cloud.means) - center).max() * 1.5 + 1)
+        eye = center + np.array([0.0, 0.0, -radius])
+        cam0 = make_camera(look_at(eye, center), args.fov,
+                           args.width, args.height)
+    elif args.scene.startswith("random"):
+        from gsrt.scene.catalog import random_cloud
+        n = int(args.scene[len("random"):] or "100000")
+        cloud, cam0 = random_cloud(n, width=args.width, height=args.height,
+                                   scale_range=(0.004, 0.03))
+    else:
+        from gsrt.scene.catalog import demo_gauss_splat
+        cloud, cam0 = demo_gauss_splat(args.width, args.height)
+
+    srv = ViewerServer(cloud, cfg, cam0, renderer=args.renderer,
+                       fov_y_deg=args.fov, host=args.host, port=args.port,
+                       max_fps=args.max_fps)
+    print(f"gsrt viewer: http://{args.host}:{srv.port}/  "
+          f"({np.asarray(cloud.means).shape[0]} splats, "
+          f"{args.width}x{args.height}, renderer={args.renderer})")
+    srv.serve_forever()
+    return 0
+
+
 def cmd_compare(args) -> int:
     """PSNR/SSIM between two images (the north-star parity check)."""
     from gsrt.utils.image import load_png, psnr, ssim
@@ -663,6 +701,21 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", type=str, default=None)
     p.add_argument("--stats-out", type=str, default=None)
     p.set_defaults(fn=cmd_orbit)
+
+    p = sub.add_parser("view", help="interactive browser viewer")
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--scene", type=str, default="random100000")
+    p.add_argument("--ply", type=str, default=None)
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--renderer",
+                   choices=["serving", "tiled", "fast", "reference"],
+                   default="serving")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-fps", type=float, default=30.0)
+    p.add_argument("--exp-lut", action="store_true")
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("compare", help="PSNR/SSIM between two PNGs")
     p.add_argument("a")
