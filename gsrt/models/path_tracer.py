@@ -448,27 +448,40 @@ def _coherence_perm(orig, dirn, live, lo, hi):
     return perm, inv
 
 
-def _any_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max, live=None):
+def _any_hit(scene: PrimitiveScene, orig, dirn, t_min, t_max, live=None,
+             sort: bool = True):
     """Occlusion query (shadow/AO rays) — any-hit traversal semantics.
 
     live (optional [R] bool): rays whose answer is unused (their pixel
     missed, or the query is pre-decided). They are parked outside the
-    scene so traversal plans nothing for their blocks, and the whole
-    wavefront is coherence-sorted first — shadow/AO bundles have random
-    per-pixel directions, the exact regime where unsorted consecutive-rb
-    blocks degrade to a near-linear super-cluster sweep."""
+    scene so traversal plans nothing for their blocks.
+
+    sort: coherence-sort the wavefront first. Pays for AO bundles (random
+    per-pixel hemisphere directions — the regime where unsorted
+    consecutive-rb blocks degrade to a near-linear super-cluster sweep)
+    but NOT for shadow bundles: their origins are the primary hit points
+    in screen order (already origin-coherent) and their directions all
+    point at one light, so the sort is overhead with nothing to fix
+    (round-3 lumibench: SH on the small scenes regressed 36->60 ms with
+    sorting while AO still gained)."""
     if scene.tri_table is not None:
         lo, hi, park_o, park_d = _scene_sort_bounds(scene)
         if live is None:
             live = jnp.ones((orig.shape[0],), bool)
-        perm, inv = _coherence_perm(orig, dirn, live, lo, hi)
-        live_s = live[perm]
-        o_s = jnp.where(live_s[:, None], orig[perm], park_o)
-        d_s = jnp.where(live_s[:, None], dirn[perm], park_d)
-        tb = t_max[perm] if getattr(t_max, "ndim", 0) >= 1 else t_max
-        t, _, _, hit, _, ovf = _closest_hit(scene, o_s, d_s, t_min, tb,
+        if sort:
+            perm, inv = _coherence_perm(orig, dirn, live, lo, hi)
+            live_s = live[perm]
+            o_s = jnp.where(live_s[:, None], orig[perm], park_o)
+            d_s = jnp.where(live_s[:, None], dirn[perm], park_d)
+            tb = t_max[perm] if getattr(t_max, "ndim", 0) >= 1 else t_max
+            t, _, _, hit, _, ovf = _closest_hit(scene, o_s, d_s, t_min, tb,
+                                                any_hit=True)
+            return hit[inv], ovf
+        o_s = jnp.where(live[:, None], orig, park_o)
+        d_s = jnp.where(live[:, None], dirn, park_d)
+        t, _, _, hit, _, ovf = _closest_hit(scene, o_s, d_s, t_min, t_max,
                                             any_hit=True)
-        return hit[inv], ovf
+        return hit, ovf
     t, _, _, hit, _, ovf = _closest_hit(scene, orig, dirn, t_min, t_max)
     return hit, ovf
 
@@ -960,7 +973,8 @@ def render_shadow_rays(scene: PrimitiveScene, camera: Camera,
         # rays from missed pixels or into the surface are pre-decided —
         # park them (live=False) so traversal plans nothing for them
         occ_s, ovf_s = _any_hit(scene, hit_p, ld, cfg.t_min,
-                                dist - 1e-2, live=hit & ~below)
+                                dist - 1e-2, live=hit & ~below,
+                                sort=False)
         occluded = below | occ_s
         ovf = ovf | ovf_s
         vis = vis + jnp.where(occluded, 0.0, 1.0)
