@@ -135,8 +135,10 @@ def cmd_pt(args) -> int:
         from gsrt.core.types import make_camera, look_at
         from gsrt.scene.obj import load_obj
         scene = load_obj(args.obj)
-        lo = np.asarray(scene.tri_v0).min(0)
-        hi = np.asarray(scene.tri_v0).max(0)
+        allv = np.concatenate([np.asarray(scene.tri_v0),
+                               np.asarray(scene.tri_v1),
+                               np.asarray(scene.tri_v2)], axis=0)
+        lo, hi = allv.min(0), allv.max(0)
         c = 0.5 * (lo + hi)
         eye = c + (hi - lo) * np.asarray([0.0, 0.3, 1.8])
         camera = make_camera(look_at(eye, c), 40.0, args.width, args.height)
@@ -153,6 +155,12 @@ def cmd_pt(args) -> int:
                        shadow_rays=args.shadowrays, ao_rays=args.aorays,
                        has_sky=extra["has_sky"],
                        gamma_correction=extra["gamma"])
+    if getattr(args, "mips", False):
+        from gsrt.models.path_tracer import with_texture_mips
+        scene = with_texture_mips(scene)
+        if scene.tex_mips is None:
+            print("note: --mips ignored (scene has no UV textures)",
+                  file=sys.stderr)
     pk = {}
     if getattr(args, "primary", "block") == "binned" and \
             int(scene.tri_v0.shape[0]) > 0 and \
@@ -660,6 +668,9 @@ def main(argv=None) -> int:
     p.add_argument("--primary", choices=["block", "binned"],
                    default="block",
                    help="primary-ray path (binned = screen-tile cast)")
+    p.add_argument("--mips", action="store_true",
+                   help="trilinear mip-mapped texture sampling "
+                        "(ray-cone LOD; getTexture txl analogue)")
     p.set_defaults(fn=cmd_pt)
 
     p = sub.add_parser("bench", help="lumibench-style sweep")

@@ -85,6 +85,14 @@ class PrimitiveScene(NamedTuple):
     mnd_center: Optional[jnp.ndarray] = None      # [M, 3]
     mnd_radius: Optional[jnp.ndarray] = None      # [M]
     mnd_mat: Optional[jnp.ndarray] = None         # [M] int32
+    # texture mip pyramid (gsrt.ops.mip packed side-strip layout,
+    # [NT, TH, TW + TW//2, 3]) + per-material texel density (texels per
+    # world unit) for ray-cone LOD. Attached by `with_texture_mips`;
+    # None -> level-0 bilinear sampling (the reference workloads' path).
+    # Reference capability: getTexture's txl mip selection
+    # (vulkan_ray_tracing.cc:1992-2334).
+    tex_mips: Optional[jnp.ndarray] = None
+    mat_texel: Optional[jnp.ndarray] = None       # [n_mats] f32
 
     @property
     def counts(self):
@@ -135,6 +143,39 @@ def with_tri_clusters(scene: PrimitiveScene, k: int = 64,
                             scene.tri_mat, scene.tri_uv0, scene.tri_uv1,
                             scene.tri_uv2, k=k, sup=sup)
     return scene._replace(tri_clusters=tc)
+
+
+def with_texture_mips(scene: PrimitiveScene) -> PrimitiveScene:
+    """Attach a texture mip pyramid + per-material texel densities for
+    ray-cone LOD sampling (gsrt.ops.mip). Once per scene, outside jit —
+    the driver-side mip-chain upload of the reference's texture model
+    (vulkan_ray_tracing.cc getTexture txl path). No-op without textures
+    or UVs. The per-MATERIAL density is the mean over its triangles (a
+    hit carries its material, not its triangle id — textures map 1:1 to
+    materials in the OBJ loader, so the approximation is tight)."""
+    if scene.textures is None or scene.tri_uv0 is None or \
+            scene.materials.texture_id is None:
+        return scene
+    from gsrt.ops.mip import build_mip_atlas, triangle_texel_density
+    mip = build_mip_atlas(scene.textures)
+    dens = triangle_texel_density(
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        scene.tri_uv0, scene.tri_uv1, scene.tri_uv2, mip.base_w)
+    n_mats = scene.materials.diffuse.shape[0]
+    cnt = jnp.zeros((n_mats,)).at[scene.tri_mat].add(1.0)
+    tot = jnp.zeros((n_mats,)).at[scene.tri_mat].add(dens)
+    return scene._replace(tex_mips=mip.data,
+                          mat_texel=tot / jnp.maximum(cnt, 1.0))
+
+
+def _mip_from_packed(data) -> "MipAtlas":
+    """Rebuild the static MipAtlas view from the packed array's shape
+    (base TW = 2/3 of the packed width; all offsets follow)."""
+    from gsrt.ops.mip import MipAtlas
+    th = data.shape[1]
+    tw = (data.shape[2] * 2) // 3
+    n_levels = 1 + max(min(th, tw).bit_length() - 1, 0)
+    return MipAtlas(data=data, n_levels=n_levels, base_h=th, base_w=tw)
 
 
 def with_tri_table(scene: PrimitiveScene,
@@ -770,8 +811,20 @@ def render_path_traced(scene: PrimitiveScene, camera: Camera,
                     scene.materials.texture_id is not None:
                 if uv is None:
                     uv = sphere_uv(n)
-                tex_color = sample_texture(
-                    scene.textures, scene.materials.texture_id[mat], uv)
+                tid = scene.materials.texture_id[mat]
+                if scene.tex_mips is not None and \
+                        scene.mat_texel is not None:
+                    # ray-cone LOD from THIS segment's hit distance (the
+                    # pre-bounce spread is ignored — the usual secondary-
+                    # ray simplification); cone angle = one pixel = 1/fy
+                    from gsrt.ops.mip import (ray_cone_lod,
+                                              sample_texture_lod)
+                    mip = _mip_from_packed(scene.tex_mips)
+                    lod = ray_cone_lod(t, 1.0 / camera.fy,
+                                       scene.mat_texel[mat])
+                    tex_color = sample_texture_lod(mip, tid, uv, lod)
+                else:
+                    tex_color = sample_texture(scene.textures, tid, uv)
 
             atten, new_dir, scattered, is_light = _scatter(
                 ks, scene.materials, mat, dirn, n,
