@@ -103,7 +103,9 @@ class PrimitiveScene(NamedTuple):
 def sample_texture(textures, tex_id, uv):
     """Bilinear atlas sample: textures [NT,TH,TW,3], tex_id [R] (−1 → white),
     uv [R,2] in [0,1). Mirrors the simulator's bilinear getTexture
-    (vulkan_ray_tracing.cc:1992+)."""
+    (vulkan_ray_tracing.cc:1992+). The uv clamp IS the reference address
+    mode: SamplerConfig defaults to CLAMP_TO_EDGE on all axes
+    (RayTracingInVulkan/src/Vulkan/Sampler.hpp:13-15)."""
     NT, TH, TW, _ = textures.shape
     t = jnp.clip(tex_id, 0, NT - 1)
     u = jnp.clip(uv[:, 0], 0.0, 1.0) * (TW - 1)
