@@ -110,7 +110,12 @@ def main() -> None:
         name = f"{expand}/{payload}/{span}/{scan}/{math}"
         cmd = [sys.executable, os.path.abspath(__file__), "--one",
                expand, payload, span, scan, math, str(N), str(W), str(H)]
-        p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1500)
+        except subprocess.TimeoutExpired:
+            print(f"{name:28s}: TIMEOUT", flush=True)
+            continue
         result = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
         if p.returncode != 0 or not result:
             tail = (p.stderr or p.stdout).strip().splitlines()[-6:]
