@@ -293,23 +293,30 @@ def _blend_packed_kernel(
                 gq = dx + dy                           # keep shape, skip math
 
             # no liveness mask: out-of-group lanes match no one-hot column,
-            # so their (real) alphas never touch a carry
+            # so their (real) alphas never touch a carry.
+            # alpha/accept run f32 even in the bf16 tier: Mosaic on v5e
+            # rejects cmpf on PACKED bf16 vectors ("Target does not support
+            # this comparison", vector<8x128x2xbf16>), and exp is
+            # transcendental (f32 internally regardless). The bf16 win is
+            # the (win, 128) quadratic-form math above; these casts are
+            # no-ops in the f32 tier.
             if use_exp_lut:
                 # the LUT's segment arithmetic manipulates f32 bits
                 expf = lambda v: _exp_neg_lut(v.astype(jnp.float32))
             else:
-                expf = lambda v: jnp.exp(-v)
+                expf = lambda v: jnp.exp(-v.astype(jnp.float32))
+            op32 = op.astype(jnp.float32)
             if skip_range_check:
-                alpha = jnp.minimum(op * expf(gq), alpha_clamp)
+                alpha = jnp.minimum(op32 * expf(gq), alpha_clamp)
                 accept = alpha > alpha_threshold
             else:
-                in_range = (gq >= 0.0) & (gq <= g_cutoff)
-                alpha = op * expf(jnp.where(in_range, gq,
-                                            jnp.zeros((), gq.dtype)))
+                gq32 = gq.astype(jnp.float32)
+                in_range = (gq32 >= 0.0) & (gq32 <= g_cutoff)
+                alpha = op32 * expf(jnp.where(in_range, gq32, 0.0))
                 alpha = jnp.minimum(alpha, alpha_clamp)
                 accept = in_range & (alpha > alpha_threshold)
             # carries, scan, and weights run f32 from here
-            alpha = jnp.where(accept, alpha, 0.0).astype(jnp.float32)
+            alpha = jnp.where(accept, alpha, 0.0)
 
             one_minus = 1.0 - alpha
 
