@@ -56,6 +56,61 @@ def _slab_camera(camera: Camera, y0, slab_h: int) -> Camera:
                   width=camera.width, height=slab_h)
 
 
+def tiled_render_fn(max_pairs: int, max_rows: int | None = None,
+                    interpret: bool = False):
+    """render_fn adapter running the PRODUCTION tile-binned pipeline
+    (projection → tile binning → packed Pallas blend, render_tiled) inside
+    shard_map shards — the same code path the single-chip benchmark runs,
+    not the brute-force render_fast sweep.
+
+    `max_pairs`/`max_rows` are the per-shard static pair-buffer sizes and
+    must bound every shard's slab (use `calibrate_sharded`); shard_map
+    requires identical static shapes on every device anyway, so one global
+    bucket is the natural sizing. Per-pixel output is identical to the
+    full-image render: a footprint rect is binned conservatively, and any
+    pair reaching a tile it cannot actually cover fails the in-kernel
+    alpha test at every pixel (alpha ≤ threshold ⇒ rejected), so slab-local
+    tile membership differences never change the blend.
+
+    Reference mapping: SURVEY §2.5 row 1 — the launch grid
+    (vulkan_ray_tracing.cc:1595-1615) sharded over devices instead of SMs.
+    """
+    from gsrt.models.gaussian_rt import render_tiled
+
+    def fn(cloud, camera, cfg):
+        return render_tiled(cloud, camera, cfg, max_pairs=max_pairs,
+                            max_rows=max_rows, interpret=interpret)
+
+    return fn
+
+
+def calibrate_sharded(cloud: GaussianCloud, camera: Camera,
+                      cfg: RenderConfig, n_tiles: int,
+                      n_splats: int = 1) -> int:
+    """Static pair-buffer size for the sharded tiled path: the max pair
+    count over every (row-slab camera × depth-slab cloud shard), bucketed
+    with the single-chip slack rule (pure NumPy — see
+    GaussianRayTracer.calibrate for why sizing must not run jax)."""
+    from gsrt.models.gaussian_rt import count_pairs_numpy, pair_bucket
+
+    slab_h = camera.height // n_tiles
+    per = cloud.n // n_splats
+    worst = 0
+    for i in range(n_tiles):
+        cam = _slab_camera(camera, float(i * slab_h), slab_h)
+        for j in range(n_splats):
+            if n_splats == 1:
+                sub = cloud
+            else:
+                sl = slice(j * per, (j + 1) * per)
+                sub = GaussianCloud(means=cloud.means[sl],
+                                    cov3d=cloud.cov3d[sl],
+                                    opacity=cloud.opacity[sl],
+                                    sh=cloud.sh[sl])
+            worst = max(worst, int(count_pairs_numpy(sub, cam, cfg)))
+    return pair_bucket(int(worst * 1.1))
+
+
 def render_data_parallel(cloud: GaussianCloud, camera: Camera,
                          cfg: RenderConfig, mesh: Mesh,
                          render_fn=None):

@@ -8,9 +8,11 @@ import pytest
 from gsrt.core.config import RenderConfig
 from gsrt.models.gaussian_rt import render_fast
 from gsrt.parallel import (
+    calibrate_sharded,
     make_render_mesh,
     render_data_parallel,
     render_splat_sharded,
+    tiled_render_fn,
 )
 from gsrt.parallel.tiles import shard_cloud_by_depth
 from gsrt.scene.catalog import random_cloud
@@ -87,6 +89,56 @@ def test_splat_sharded_butterfly_composite():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cb), np.asarray(ref.color),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_data_parallel_tiled_production_path():
+    """The PRODUCTION tiled renderer (binning + packed Pallas blend) under
+    shard_map must match the single-device tiled render exactly: rect
+    binning is conservative, so slab-local tile membership differences are
+    invisible through the in-kernel alpha test (f32 payload = bit-parity
+    tier)."""
+    from gsrt.models.gaussian_rt import render_tiled
+
+    cloud, camera = random_cloud(400, seed=8, width=64, height=128)
+    cfg = RenderConfig(width=64, height=128, conic_mode="standard",
+                       payload="f32")
+    mp = calibrate_sharded(cloud, camera, cfg, n_tiles=8)
+    ref = render_tiled(cloud, camera, cfg, max_pairs=mp, interpret=True)
+    mesh = make_render_mesh(n_tiles=8)
+    trans, color = render_data_parallel(
+        cloud, camera, cfg, mesh,
+        render_fn=tiled_render_fn(mp, interpret=True))
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(ref.trans),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_splat_sharded_tiled_production_path():
+    """Depth-slab splat sharding × row slabs over the production tiled
+    renderer: the HBM-exceeding-scene mode runs the same kernel the bench
+    does. Butterfly composite included."""
+    from gsrt.models.gaussian_rt import render_tiled
+
+    cloud, camera = random_cloud(400, seed=9, width=64, height=64)
+    cfg = RenderConfig(width=64, height=64, conic_mode="standard",
+                       payload="f32")
+    mp_full = calibrate_sharded(cloud, camera, cfg, n_tiles=1)
+    ref = render_tiled(cloud, camera, cfg, max_pairs=mp_full,
+                       interpret=True)
+    sharded = shard_cloud_by_depth(cloud, camera, 4)
+    mp = calibrate_sharded(sharded, camera, cfg, n_tiles=2, n_splats=4)
+    mesh = make_render_mesh(n_tiles=2, n_splats=4)
+    for composite in ("gather", "butterfly"):
+        trans, color = render_splat_sharded(
+            sharded, camera, cfg, mesh, composite=composite,
+            render_fn=tiled_render_fn(mp, interpret=True))
+        np.testing.assert_allclose(np.asarray(trans), np.asarray(ref.trans),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                                   rtol=1e-3, atol=1e-4)
 
 
 @pytest.mark.slow

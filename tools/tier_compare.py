@@ -113,8 +113,13 @@ def main() -> None:
         try:
             p = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=1500)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             print(f"{name:28s}: TIMEOUT", flush=True)
+            out = e.stderr or e.stdout or b""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            for l in out.strip().splitlines()[-6:]:
+                print(f"    {l}", flush=True)
             continue
         result = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
         if p.returncode != 0 or not result:
