@@ -32,13 +32,16 @@ def _binning_inputs(cloud, camera, cfg):
 
 
 def test_ellipse_pairs_subset_and_consistent():
-    cloud, camera = random_cloud(4000, seed=0, width=320, height=240,
+    # the tier's one FAST regression (ellipse measured slower end-to-end on
+    # TPU — ROADMAP.md dead-ends — so it is opt-in; everything heavier in
+    # this module is @slow and runs in the full merge gate)
+    cloud, camera = random_cloud(1000, seed=0, width=160, height=120,
                                  scale_range=(0.01, 0.08))
-    cfg = RenderConfig(width=320, height=240, conic_mode="standard",
+    cfg = RenderConfig(width=160, height=120, conic_mode="standard",
                        tile_w=16, tile_h=16)
     args = _binning_inputs(cloud, camera, cfg)
-    kw = dict(width=320, height=240, tile_w=16, tile_h=16, chunk=256,
-              max_pairs=1 << 17, g_cutoff=cfg.g_cutoff,
+    kw = dict(width=160, height=120, tile_w=16, tile_h=16, chunk=256,
+              max_pairs=1 << 16, g_cutoff=cfg.g_cutoff,
               alpha_threshold=cfg.alpha_threshold)
     br = build_tile_binning(*args, **kw)
     be = build_tile_binning(*args, span_mode="ellipse", **kw)
@@ -58,6 +61,7 @@ def test_ellipse_pairs_subset_and_consistent():
     assert count_pairs_numpy(cloud, camera, cfg) == pr
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("payload", ["f32", "compact"])
 @pytest.mark.parametrize("expand_impl", ["xla", "pallas"])
 def test_ellipse_render_parity(payload, expand_impl):
@@ -76,6 +80,7 @@ def test_ellipse_render_parity(payload, expand_impl):
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ellipse_row_overflow_flag():
     cloud, camera = random_cloud(2000, seed=1, width=256, height=192,
                                  scale_range=(0.01, 0.08))
@@ -91,6 +96,7 @@ def test_ellipse_row_overflow_flag():
     assert bool(tiny.overflow)
 
 
+@pytest.mark.slow
 def test_ellipse_tracer_calibrates_rows():
     cloud, camera = random_cloud(800, seed=3, width=160, height=128,
                                  scale_range=(0.01, 0.08))

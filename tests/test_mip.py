@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsrt.ops.mip import (MipAtlas, _level_origin, build_mip_atlas,
+import pytest
                           ray_cone_lod, sample_texture_lod,
                           triangle_texel_density)
 
@@ -112,6 +113,7 @@ def test_texel_density_and_cone_lod():
     assert float(l2[0]) > 1.0
 
 
+@pytest.mark.slow
 def test_path_tracer_mips_end_to_end():
     """with_texture_mips + a textured scene through render_path_traced:
     finite image; distant checker converges toward the mean (anti-

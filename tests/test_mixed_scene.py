@@ -51,6 +51,7 @@ def test_splat_visible_to_primary_rays():
     assert c[0] > c[2] * 1.5, c
 
 
+@pytest.mark.slow
 def test_splat_visible_in_mirror_reflection():
     """A splat BEHIND the camera shows up only via the mirror bounce —
     the capability the reference structurally has but never exercises
@@ -70,6 +71,7 @@ def test_splat_visible_in_mirror_reflection():
     assert c[0] > c[2] * 1.2, c
 
 
+@pytest.mark.slow
 def test_empty_cloud_is_identity():
     scene, cam = _mirror_scene()
     cfg = RenderConfig(width=24, height=24, samples=1, bounces=2,

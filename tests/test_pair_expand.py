@@ -111,6 +111,7 @@ def test_binning_parity_pallas_vs_xla():
     np.testing.assert_array_equal(outs["pallas"][0], outs["xla"][0])
 
 
+@pytest.mark.slow
 def test_fused_end_to_end_render():
     """expand_impl='fused' through the full tiled render must be
     bit-identical to 'pallas' (same table, same payload packing; only the

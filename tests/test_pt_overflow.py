@@ -50,6 +50,7 @@ def test_binned_pairs_overflow_flag():
     assert not bool(flags_ok["gauss_visits_overflow"])
 
 
+@pytest.mark.slow
 def test_shadow_ao_flags_surface():
     scene, cam, cfg = _tri_scene()
     _, f_sh = render_shadow_rays(scene, cam, cfg, light_pos=(0, 5, 2),

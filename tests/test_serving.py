@@ -107,6 +107,7 @@ def test_static_camera_converges_with_cull():
     assert all(f["violations"] == 0 for f in s), s
 
 
+@pytest.mark.slow
 def test_over_aggressive_cutoff_self_corrects():
     cloud, camera = _dense_cloud()
     cfg = _cfg()

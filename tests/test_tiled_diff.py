@@ -35,7 +35,8 @@ def setup_module(module):
     WC, WT = _loss_weights(jax.random.PRNGKey(9), H, W)
 
 
-@pytest.mark.parametrize("tile", [(128, 8), (16, 16)])
+@pytest.mark.parametrize("tile", [
+    pytest.param((128, 8), marks=pytest.mark.slow), (16, 16)])
 def test_grads_match_render_fast(tile):
     tw, th = tile
     cloud, camera = random_cloud(200, seed=5, width=W, height=H)

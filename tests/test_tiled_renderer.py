@@ -181,6 +181,7 @@ def test_numpy_count_matches_jax():
     assert abs(a - b) <= max(4, a // 1000), (a, b)
 
 
+@pytest.mark.slow
 def test_tiled_lut_mode_matches_fast_lut():
     """cfg.use_exp_lut=True runs the reference's 256-segment piecewise
     exp (ExpLUT.hpp:10-24) INSIDE the Pallas kernel; must match
