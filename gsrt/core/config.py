@@ -94,14 +94,20 @@ class RenderConfig:
                                 # MXU matmul (hi/lo bf16 split). logmm
                                 # measured 95.7 vs 105.9 ms/frame on v5e
                                 # (1M @1080p); image delta 1.1e-4.
-    blend_math: Literal["f32", "bf16"] = "f32"
+    blend_math: Literal["f32", "bf16"] = "bf16"
                                 # packed-kernel elementwise math tier:
                                 # "bf16" halves the VPU vregs of the
                                 # (win, 128) EWA/alpha math and drops the
                                 # lo residual of the value-side MXU
-                                # contractions (~1e-2-class color error,
-                                # the compact payload's order); trans
-                                # carries and the scan log/exp stay f32
+                                # contractions (~1e-2-class color error);
+                                # alpha/exp/accept and the trans carries
+                                # stay f32 (Mosaic v5e rejects packed-bf16
+                                # cmpf). Measured 2026-08-20 on v5e, 1M
+                                # @1080p: 78.9 vs 83.5 ms/frame over
+                                # compact/f32; 54.8 dB PSNR vs the f32
+                                # payload (compact/f32 itself: 56.8 dB) —
+                                # the default perf tier per the sweep-
+                                # winner policy (tools/tier_compare.py)
     payload: Literal["f32", "compact"] = "compact"
                                 # pair-payload precision for the packed
                                 # blend path: "compact" packs mean (u16

@@ -3,9 +3,9 @@ capability (vulkan_ray_tracing.cc:1992-2334) rebuilt for the atlas."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsrt.ops.mip import (MipAtlas, _level_origin, build_mip_atlas,
-import pytest
                           ray_cone_lod, sample_texture_lod,
                           triangle_texel_density)
 

@@ -34,7 +34,7 @@ def test_packed_matches_fast(tw, th):
     # default, is a documented ~4e-3 fast tier — test_compact_payload_*)
     cfg = RenderConfig(width=96, height=48, conic_mode="standard",
                        tile_w=tw, tile_h=th, blend_impl="packed",
-                       payload="f32")
+                       payload="f32", blend_math="f32")
     _cmp(cloud, camera, cfg, max_pairs=1 << 14)
 
 
@@ -217,7 +217,7 @@ def test_exact_hits_map():
     cloud = cloud._replace(opacity=cloud.opacity * 0.2)
     cfg = RenderConfig(width=64, height=48, conic_mode="standard",
                        tile_w=16, tile_h=16, blend_impl="packed",
-                       payload="f32", exact_hits=True)
+                       payload="f32", blend_math="f32", exact_hits=True)
     out = render_tiled(cloud, camera, cfg, max_pairs=1 << 14,
                        interpret=True)
 

@@ -31,7 +31,7 @@ def test_tiled_matches_fast(seed, n):
     # payload="f32": bit-parity tier (the compact default is a ~4e-3
     # fast tier — covered by test_tiled_default_tier_close_to_fast)
     cfg = RenderConfig(width=128, height=32, conic_mode="standard",
-                       payload="f32")
+                       payload="f32", blend_math="f32")
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 15)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
@@ -43,18 +43,23 @@ def test_tiled_matches_fast(seed, n):
 
 
 def test_tiled_default_tier_close_to_fast():
-    """The DEFAULT RenderConfig selects the compact payload + logmm scan
-    fast tier; it must stay within the documented ~6e-3 bound of the
-    exact render_fast image (tile_binning.py compact layout comment)."""
+    """The DEFAULT RenderConfig selects the compact payload + logmm scan +
+    bf16 blend-math fast tier (the measured sweep winner, 78.9 ms vs 83.5
+    f32-math on v5e 1M@1080p); it must stay within the documented
+    ~1e-2-class bound of the exact render_fast image (config.py blend_math
+    comment; the pure-payload bound without bf16 is ~6e-3)."""
     cloud, camera = random_cloud(150, seed=4, width=128, height=32)
     cfg = RenderConfig(width=128, height=32, conic_mode="standard")
-    assert cfg.payload == "compact" and cfg.scan_impl == "logmm"
+    assert (cfg.payload == "compact" and cfg.scan_impl == "logmm"
+            and cfg.blend_math == "bf16")
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 15)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
-                               atol=8e-3)
+                               atol=6e-2)
     np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
-                               atol=8e-3)
+                               atol=6e-2)
+    # typical error stays 1e-3-class even with bf16 EWA math
+    assert np.abs(np.asarray(a.color) - np.asarray(b.color)).mean() < 2e-3
 
 
 def test_tiled_reference_conic_mode():
@@ -63,7 +68,7 @@ def test_tiled_reference_conic_mode():
     # payload="f32": this asserts the bit-parity tier (compact, the
     # default, is a documented ~4e-3 fast tier with its own test)
     cfg = RenderConfig(width=128, height=16, conic_mode="reference",
-                       payload="f32")
+                       payload="f32", blend_math="f32")
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 12)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
@@ -76,7 +81,7 @@ def test_tiled_demo_scene():
     # opacity to u8 since the rgba8888 payload word — its looser bound is
     # test_tiled_default_tier_close_to_fast's)
     cfg = RenderConfig(width=128, height=16, conic_mode="standard",
-                       payload="f32")
+                       payload="f32", blend_math="f32")
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 13)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
@@ -157,7 +162,7 @@ def test_overflow_recalibrates_and_matches_fast():
 
     cloud, camera = random_cloud(150, seed=9, width=128, height=32)
     cfg = RenderConfig(width=128, height=32, conic_mode="standard",
-                       payload="f32")
+                       payload="f32", blend_math="f32")
     # a stale calibration too small for this view (as after a camera zoom)
     rt = GaussianRayTracer(cfg, "tiled", max_pairs=128, interpret=True)
     out = rt(cloud, camera)
