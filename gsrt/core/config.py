@@ -55,10 +55,13 @@ class RenderConfig:
     # --- tiling (perf path) ---
     # tile shapes select the blend kernel: pixel-count 1024 with tile_w 128
     # -> the 8x128 register-tile kernel (splat_pallas); any other multiple
-    # of 128 px -> the subtile kernel (splat_subtile). 16x16 measured best
-    # on v5e at 1M/1080p (117.7 ms vs 122.4 at 128x8): pair inflation
-    # (4.19M vs 3.67M) costs less than the 4x per-pair blend savings.
-    tile_w: int = 16
+    # of 128 px -> the subtile kernel (splat_subtile). 32x16 measured best
+    # on v5e at 1M/1080p once binning came to dominate the frame (sweep
+    # 2026-08-20, compact+bf16: 75.9 ms vs 79.0 at 16x16 / 88.8 at 32x32
+    # — the pair count drops 4.19M -> 3.15M and every binning stage
+    # scales with pairs, while win=512 blend cost absorbs only part of
+    # it; 59.3 dB vs 16x16, pure chunk-regrouping noise).
+    tile_w: int = 32
     tile_h: int = 16
     pair_chunk: int = 128       # pairs per kernel chunk (multiple of 128;
                                 # subtile kernel wants 128; the 128x8 kernel

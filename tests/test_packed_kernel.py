@@ -43,7 +43,8 @@ def test_packed_matches_fast_lut():
     cloud, camera = random_cloud(120, seed=5, width=64, height=48)
     cfg = RenderConfig(width=64, height=48, conic_mode="standard",
                        tile_w=16, tile_h=16, blend_impl="packed",
-                       use_exp_lut=True, payload="f32")
+                       use_exp_lut=True, payload="f32",
+                       blend_math="f32")
     fast_cfg = cfg  # render_fast honors use_exp_lut too
     a = render_fast(cloud, camera, fast_cfg)
     b = render_tiled(cloud, camera, cfg, max_pairs=1 << 14, interpret=True)
@@ -59,7 +60,8 @@ def test_packed_vs_subtile_many_small_segments():
     above f32/log-exp noise."""
     cloud, camera = random_cloud(250, seed=11, width=80, height=80)
     base = RenderConfig(width=80, height=80, conic_mode="standard",
-                        tile_w=16, tile_h=8, payload="f32")
+                        tile_w=16, tile_h=8, payload="f32",
+                        blend_math="f32")
     b = render_tiled(cloud, camera, base.replace(blend_impl="packed"),
                      max_pairs=1 << 14, interpret=True)
     c = render_tiled(cloud, camera, base.replace(blend_impl="subtile"),

@@ -102,7 +102,7 @@ def test_data_parallel_tiled_production_path():
 
     cloud, camera = random_cloud(400, seed=8, width=64, height=128)
     cfg = RenderConfig(width=64, height=128, conic_mode="standard",
-                       payload="f32")
+                       payload="f32", blend_math="f32")
     mp = calibrate_sharded(cloud, camera, cfg, n_tiles=8)
     ref = render_tiled(cloud, camera, cfg, max_pairs=mp, interpret=True)
     mesh = make_render_mesh(n_tiles=8)
@@ -124,7 +124,7 @@ def test_splat_sharded_tiled_production_path():
 
     cloud, camera = random_cloud(400, seed=9, width=64, height=64)
     cfg = RenderConfig(width=64, height=64, conic_mode="standard",
-                       payload="f32")
+                       payload="f32", blend_math="f32")
     mp_full = calibrate_sharded(cloud, camera, cfg, n_tiles=1)
     ref = render_tiled(cloud, camera, cfg, max_pairs=mp_full,
                        interpret=True)

@@ -193,7 +193,7 @@ def test_tiled_lut_mode_matches_fast_lut():
     render_fast's LUT path (VERDICT round-1 item 10)."""
     cloud, camera = random_cloud(250, seed=7, width=64, height=48)
     cfg = RenderConfig(width=64, height=48, conic_mode="standard",
-                       use_exp_lut=True, payload="f32")
+                       use_exp_lut=True, payload="f32", blend_math="f32")
     a = render_fast(cloud, camera, cfg)
     b = _render_tiled_interp(cloud, camera, cfg, max_pairs=1 << 13)
     np.testing.assert_allclose(np.asarray(a.trans), np.asarray(b.trans),
