@@ -26,5 +26,25 @@ Layer map (mirrors SURVEY.md §7):
 
 __version__ = "0.2.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: the flagship frame program takes
+# minutes to compile cold on the axon backend, and every tool/test/bench
+# subprocess pays it again — the disk cache drops warm-process compiles to
+# cache-read time (verified to round-trip on the axon TPU backend).
+# Opt out with GSRT_NO_COMPILE_CACHE=1 (e.g. when diagnosing compiles).
+if not _os.environ.get("GSRT_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without the knobs — cache is best-effort
+        pass
+
 from gsrt.core.config import RenderConfig  # noqa: F401
 from gsrt.core.types import Camera, GaussianCloud  # noqa: F401

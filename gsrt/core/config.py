@@ -66,10 +66,15 @@ class RenderConfig:
     pair_chunk: int = 128       # pairs per kernel chunk (multiple of 128;
                                 # subtile kernel wants 128; the 128x8 kernel
                                 # measured best at 384)
-    expand_impl: Literal["pallas", "xla", "fused"] = "pallas"
+    expand_impl: Literal["pallas", "xla", "fused", "binned"] = "pallas"
                                 # "fused": pallas expansion with the
                                 # pair->source merge computed in-kernel
                                 # (drops the two dense merge sorts)
+                                # "binned": fused expansion that also emits
+                                # the compact tile-sort operands (tile id,
+                                # packed tile-relative mean) in-kernel —
+                                # compact payload only (f32 falls back to
+                                # "pallas")
                                 # pair expansion: Pallas barrel-shift kernel
                                 # (fast) or XLA jnp.repeat (fallback)
     blend_impl: Literal["packed", "subtile"] = "packed"

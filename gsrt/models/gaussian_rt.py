@@ -468,7 +468,8 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
             alpha_clamp=alpha_clamp, interpret=interpret,
             skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut,
             track_consumed=serving, scan_impl=cfg.scan_impl,
-            track_hits=cfg.exact_hits, math_dtype=cfg.blend_math)
+            track_hits=cfg.exact_hits, math_dtype=cfg.blend_math,
+            chunk=cfg.pair_chunk)
         res = list(res)
         color, trans = res[0], res[1]
         consumed = res[2] if serving else None

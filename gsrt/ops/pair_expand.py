@@ -48,19 +48,20 @@ def _expand_kernel(
     # scalar prefetch
     src_start_ref,         # [G] int32: first table row covering pair g*C,
                            # already rounded down to a 128 multiple
-    # inputs
-    tabf_hbm,              # [TAB_ROWS, N_pad] f32 feature-major table
-    srow_hbm,              # [8, MP + 128] int32, row 0 = s(p) with a
-                           # 128-lane zero prefix (frame alignment)
-    # outputs
-    out_ref,               # [TAB_ROWS, C] VMEM
-    # scratch
-    tbuf,                  # [2, rows, W] VMEM f32
-    sbuf,                  # [2, 8, W] VMEM int32
-    sem,                   # DMA semaphores (2, 2)
-    *,
-    chunk: int, window: int,
+    # (emit mode only) misc_ref,  # [1] int32: live pair count
+    # then inputs
+    *rest,                 # tabf_hbm [TAB_ROWS, N_pad] f32 feature-major;
+                           # srow_hbm [8, MP + 128] int32, row 0 = s(p)
+                           #   with a 128-lane zero prefix;
+                           # out_ref [rows, C] VMEM (int32 in emit mode);
+                           # scratch tbuf [2, rows, W] f32,
+                           #   sbuf [2, 8, W] int32, sem (2, 2)
+    chunk: int, window: int, emit: dict | None = None,
 ):
+    if emit is not None:
+        misc_ref, tabf_hbm, srow_hbm, out_ref, tbuf, sbuf, sem = rest
+    else:
+        tabf_hbm, srow_hbm, out_ref, tbuf, sbuf, sem = rest
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     C, W = chunk, window
@@ -110,7 +111,77 @@ def _expand_kernel(
         y = jnp.where(take, pltpu.roll(y, shift=b, axis=1), y)
         b //= 2
 
-    out_ref[...] = pltpu.bitcast(y[:, 128:128 + C], jnp.float32)
+    if emit is None:
+        out_ref[...] = pltpu.bitcast(y[:, 128:128 + C], jnp.float32)
+    else:
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        _emit_binned_rows(y[:, 128:128 + C], g * C + jcol, misc_ref[0],
+                          out_ref, emit)
+
+
+def _emit_binned_rows(z, p, total, out_ref, emit):
+    """Binned emit shared by the expand kernels: from the expanded compact
+    table window z ([8, C] int32, _build_compact row order) and the global
+    pair indices p ([1, C]), compute tile id + packed tile-relative mean
+    and write the 5 tile-sort operands (COMPACT_STORE row order) with dead
+    lanes sentineled/inerted. All (1, C)/(8, C)-scale — replaces the XLA
+    tile-id stage that otherwise runs at (rows, MP) scale."""
+    C = z.shape[1]
+    e0 = z[0:1]
+    gx0 = e0 & 0xFFF
+    gy0 = (e0 >> 12) & 0xFFF
+    gw = jnp.maximum((e0 >> 24) & 0x7F, 1)
+    rank = jnp.maximum(p - z[1:2], 0)                # pair rank in its splat
+    # rank // gw via f32 division (no integer vector divide on the VPU).
+    # Exact-multiple quotients divide exactly in f32; otherwise the result
+    # is >= 1/127 away from the next integer, far beyond 0.5 ulp — but two
+    # conditional fixups make the decomposition exact regardless
+    qf = jnp.floor(rank.astype(jnp.float32)
+                   / gw.astype(jnp.float32)).astype(jnp.int32)
+    m = rank - qf * gw
+    over = m >= gw
+    qf = jnp.where(over, qf + 1, qf)
+    m = jnp.where(over, m - gw, m)
+    under = m < 0
+    qf = jnp.where(under, qf - 1, qf)
+    m = jnp.where(under, m + gw, m)
+    tx = gx0 + m
+    ty = gy0 + qf
+    tile = ty * emit["ntx"] + tx
+    mx_rel = (pltpu.bitcast(z[2:3], jnp.float32)
+              - tx.astype(jnp.float32) * float(emit["tile_w"]))
+    my_rel = (pltpu.bitcast(z[3:4], jnp.float32)
+              - ty.astype(jnp.float32) * float(emit["tile_h"]))
+
+    from gsrt.ops.tile_binning import (MEAN_COARSE_BIAS, MEAN_COARSE_SCALE,
+                                       MEAN_FINE_BIAS, MEAN_FINE_SCALE)
+
+    def pack_axis(v):                # == tile_binning._pack_mean_axis
+        fine = jnp.clip(jnp.round((v + MEAN_FINE_BIAS) * MEAN_FINE_SCALE),
+                        0, 32767).astype(jnp.int32)
+        coarse = jnp.clip(
+            jnp.round((v + MEAN_COARSE_BIAS) * MEAN_COARSE_SCALE),
+            0, 32767).astype(jnp.int32) | 0x8000
+        return jnp.where((v >= -MEAN_FINE_BIAS) & (v < MEAN_FINE_BIAS),
+                         fine, coarse)
+
+    meanp = (pack_axis(mx_rel) << 16) | pack_axis(my_rel)
+    # saturated-mean pairs mis-decode clamped — inert them (opacity 0),
+    # exactly as _finish_compact's XLA path does
+    mean_sat = ((jnp.abs(mx_rel) >= MEAN_COARSE_BIAS - 0.5)
+                | (jnp.abs(my_rel) >= MEAN_COARSE_BIAS - 0.5))
+    dead = p >= total
+    rgba = jnp.where(mean_sat | dead, 0, z[6:7])
+    tile = jnp.where(dead, emit["T"], tile)
+    zero = jnp.zeros((1, C), jnp.int32)
+    out_ref[0:1] = meanp
+    out_ref[1:2] = z[4:5]                            # qab
+    out_ref[2:3] = z[5:6]                            # qcd
+    out_ref[3:4] = rgba
+    out_ref[4:5] = tile
+    out_ref[5:6] = zero
+    out_ref[6:7] = zero
+    out_ref[7:8] = zero
 
 
 def _rank_at(base_c: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
@@ -171,22 +242,21 @@ def _base_window_cols(window: int) -> int:
 
 def _expand_fused_kernel(
     # scalar prefetch
-    coarse_ref,            # [TP + 2] int32: s at pair (i-1)*128 (entry 0
-                           # covers the -128 prefix tile; clamped >= 0)
+    coarse_ref,            # [TP + 2] int32: 128·K floor rank at pair
+                           # (i-1)*128 (see tile_body; entry 0 covers the
+                           # -128 prefix tile with a negative sentinel)
     src_start_ref,         # [G] int32: 128-aligned first table col, chunk g
+    # (emit mode only) misc_ref,  # [1] int32: live pair count
     # inputs
-    tabf_hbm,              # [rows, N_pad] f32 feature-major table
-    baset_hbm,             # [128, NT] int32: base TRANSPOSED — column c =
-                           # bases [c*128, (c+1)*128) down the sublanes
-    # outputs
-    out_ref,               # [rows, C] VMEM
-    # scratch
-    tbuf,                  # [2, rows, W] VMEM f32
-    bbuf,                  # [2, 128, BW] VMEM int32 (transposed base cols)
-    dbuf,                  # [1, W] VMEM int32 (shift distances)
-    sem,                   # DMA semaphores (2, 2)
-    *,
-    chunk: int, window: int,
+    *rest,                 # tabf_hbm [rows, N_pad] f32 feature-major table;
+                           # baset_hbm [128, NT] int32: base TRANSPOSED —
+                           #   column c = bases [c*128, (c+1)*128) down the
+                           #   sublanes;
+                           # out_ref [rows, C] VMEM (int32 in emit mode);
+                           # scratch: tbuf [2, rows, W] f32, bbuf
+                           #   [2, 128, BW] int32, dbuf [1, W] int32,
+                           #   sem (2, 2)
+    chunk: int, window: int, emit: dict | None = None,
 ):
     """expand_pairs with the pair->source merge computed IN the kernel.
 
@@ -202,7 +272,20 @@ def _expand_fused_kernel(
     lane-major with no in-kernel transpose. Coarse s at 128-pair
     granularity rides in as prefetched scalars (one ~N+TP-row sort, ~3%
     the rows of the two merge sorts this replaces).
+
+    emit (expand_pairs_binned): instead of the raw expanded table, emit
+    the COMPACT tile-sort operands directly — per-pair tile id (from the
+    in-kernel rank, replacing the XLA mod/div tile-id stage), the
+    tile-relative two-tier packed mean (tile_binning.pack_mean_rel
+    arithmetic), and the Cholesky/rgba words — with dead lanes already
+    sentineled/inerted. Keys of `emit`: ntx, tile_w, tile_h, T (sentinel
+    tile id). Requires the extra misc_ref prefetch row carrying the live
+    pair count, and the 8-row compact table layout (_build_compact).
     """
+    if emit is not None:
+        misc_ref, tabf_hbm, baset_hbm, out_ref, tbuf, bbuf, dbuf, sem = rest
+    else:
+        tabf_hbm, baset_hbm, out_ref, tbuf, bbuf, dbuf, sem = rest
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     C, W = chunk, window
@@ -248,9 +331,16 @@ def _expand_fused_kernel(
     bw = bbuf[slot]                                  # (128, BCOLS)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-    def tile_body(t, _):
+    def do_tile(t):
         # global pair tile index; tile t covers pairs [p_t, p_t + 128)
         p_t = (g * C - 128) + t * 128
+        # FLOOR coarse rank: s_t = 128·K with K = #{k: base[128k] <= p_t}−1,
+        # so the true #{j: base_j <= p_t} ∈ [s_t+1, s_t+128] (sorted bases).
+        # Counting ALL bases <= p over strip columns K, K+1 (j ∈
+        # [s_t, s_t+256)) then gives s(p) = s_t + cnt − 1 exactly: every
+        # j < s_t has base_j <= base[s_t] <= p_t, and
+        # #{j: base_j <= p} <= (s_t+128) + 127 < s_t + 256 (each splat
+        # emits >= 1 pair, and p <= p_t + 127)
         s_t = coarse_ref[g * (C // 128) + t]
         # 256-candidate base strip, sublane-major: columns floor(s_t/128)
         # and +1 of the transposed base window
@@ -269,19 +359,39 @@ def _expand_fused_kernel(
         # needs shift = -cb, expressed non-negatively as (n - cb) mod n
         rot = pltpu.roll(bw, shift=jax.lax.rem(bw.shape[1] - cb,
                                                bw.shape[1]), axis=1)
-        strip = jax.lax.concatenate(
-            [rot[:, 0:1], rot[:, 1:2]], 0)           # (256, 1)
+        # two separate 128-candidate counts: concatenating the two (128,1)
+        # column slices is an unsupported offset-mismatched tpu.concatenate
+        # on v5e Mosaic ("result/input offset mismatch on non-concat
+        # dimension") — summing the two partial counts is equivalent
         p_lane = p_t + lane128                       # (1, 128)
-        cnt = jnp.sum(((strip > p_t) & (strip <= p_lane)
-                       ).astype(jnp.int32), axis=0, keepdims=True)
-        s_lane = s_t + cnt                           # (1, 128) global s
+
+        def _cnt(strip):                             # strip: (128, 1)
+            return jnp.sum((strip <= p_lane).astype(jnp.int32),
+                           axis=0, keepdims=True)
+
+        cnt = _cnt(rot[:, 0:1]) + _cnt(rot[:, 1:2])
+        s_lane = s_t + cnt - 1                       # (1, 128) global s
         q_lane = t * 128 + lane128                   # window lane index
         s_w = jnp.minimum(jnp.maximum(s_lane - col0, 0), q_lane)
         d = q_lane - s_w
         dbuf[0:1, pl.ds(t * 128, 128)] = d
+
+    # manually partially unrolled: at TILES ≈ 129 sequential iterations
+    # per chunk, Mosaic's fori_loop branch overhead dominated the whole
+    # kernel (the round-3 "masked-sum selects cost more than the merge
+    # sorts" verdict was largely loop overhead). Mosaic only supports
+    # full/no unroll on fori_loop, so group 16 tiles per trip by hand;
+    # the remainder tiles run as straight-line code.
+    UNROLL = 16
+
+    def tile_group(tg, _):
+        for u in range(UNROLL):
+            do_tile(tg * UNROLL + u)
         return _
 
-    jax.lax.fori_loop(0, TILES, tile_body, 0)
+    jax.lax.fori_loop(0, TILES // UNROLL, tile_group, 0)
+    for t in range(TILES - TILES % UNROLL, TILES):
+        do_tile(t)
 
     y = pltpu.bitcast(tbuf[slot], jnp.int32)         # (rows, W)
     d = dbuf[0:1, :]                                 # (1, W)
@@ -294,11 +404,51 @@ def _expand_fused_kernel(
         y = jnp.where(take, pltpu.roll(y, shift=b, axis=1), y)
         b //= 2
 
-    out_ref[...] = pltpu.bitcast(y[:, 128:128 + C], jnp.float32)
+    if emit is None:
+        out_ref[...] = pltpu.bitcast(y[:, 128:128 + C], jnp.float32)
+    else:
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        _emit_binned_rows(y[:, 128:128 + C], g * C + jcol, misc_ref[0],
+                          out_ref, emit)
+
+
+def _merge_rank_blocked(base: jnp.ndarray, mp_pad: int,
+                        n: int) -> jnp.ndarray:
+    """s[p] = clip(#{j: base[j] <= p} - 1, 0, n-1) for p in [0, mp_pad) —
+    the same value as _merge_rank, computed WITHOUT the two N+MP-row merge
+    sorts. Three cheap steps:
+      1. floor ranks at 128-pair granularity from the 128-DOWNSAMPLED base
+         (one _rank_at over N/128 + MP/128 rows — ~1% of the merge rows);
+      2. per 128-pair block, slice-gather the 256-candidate base strip at
+         the floor (vmapped dynamic_slice → contiguous-row gather);
+      3. a fused broadcast compare-reduce refines each pair's rank against
+         its strip: #{j: base_j <= p} = 128·K + #{j in strip: base_j <= p}
+         (every j < 128·K has base_j <= base[128K] <= p_t <= p, and the
+         count can exceed the strip by nothing: count(p_t) <= 128K + 128
+         and p - p_t <= 127 with strictly increasing bases).
+    Measured ~1 ms at 1M splats / 3.7M pairs vs 12.2 ms for _merge_rank.
+    """
+    TP = mp_pad // 128
+    base_c = jnp.minimum(base, mp_pad)
+    base128 = base_c[::128]
+    qs = jnp.arange(TP, dtype=jnp.int32) * 128       # block start pairs
+    K = jnp.maximum(_rank_at(base128, qs), 0)        # (TP,) floor/128
+    starts = K * 128
+    # pad so starts + 255 stays in bounds (dead tail reads sentinels)
+    base_pad = jnp.concatenate(
+        [base_c, jnp.full((256,), mp_pad, jnp.int32)])
+    strips = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(base_pad, (s,), (256,)))(starts)
+    p = qs[:, None] + jnp.arange(128, dtype=jnp.int32)[None, :]
+    cnt = jnp.sum(strips[:, None, :] <= p[:, :, None],
+                  axis=-1).astype(jnp.int32)         # (TP, 128), fused
+    s = starts[:, None] + cnt - 1
+    return jnp.clip(s.reshape(mp_pad), 0, n - 1).astype(jnp.int32)
 
 
 def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
-                 *, chunk: int = 16384, interpret: bool = False) -> jnp.ndarray:
+                 *, chunk: int = 16384, interpret: bool = False,
+                 emit: dict | None = None, total=None) -> jnp.ndarray:
     """Expand a depth-sorted splat table to the pair table.
 
     tabf: [rows, N] f32, feature-major (rows must be a multiple of 8; the
@@ -333,11 +483,11 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     n_pad = W + ((-N) % 128)
     tabf = jnp.pad(tabf, ((0, 0), (0, n_pad)))
 
-    # per-pair source index via a hand-rolled merge rank: two single-operand
-    # packed sorts + a cumsum. jnp.searchsorted(method='sort') measured 70 ms
-    # at 3.7M queries on v5e (it pays extra unsort/gather passes); this form
-    # is ~5x cheaper. Exploits that queries are arange (already sorted).
-    s_pair = _merge_rank(base, mp_pad, N)
+    # per-pair source index. The original two-packed-sort merge
+    # (_merge_rank) measured 12.2 ms at 3.7M pairs; the blocked form
+    # (coarse floor ranks + strip gather + fused compare-reduce) computes
+    # the identical value in ~1 ms.
+    s_pair = _merge_rank_blocked(base, mp_pad, N)
     srow = jnp.pad(s_pair[None, :], ((0, 7), (128, 0)))  # [8, mp_pad + 128]
 
     # first table row covering pair g*C, 128-aligned down for the window
@@ -352,29 +502,61 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     tabf, srow, src_start = jax.lax.optimization_barrier(
         (tabf, srow, src_start))
 
-    kernel = functools.partial(_expand_kernel, chunk=chunk, window=W)
+    kernel = functools.partial(_expand_kernel, chunk=chunk, window=W,
+                               emit=emit)
+    n_prefetch = 1 if emit is None else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_prefetch,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((rows, chunk),
-                               index_map=lambda g, ss: (0, g)),
+                               index_map=lambda g, *_: (0, g)),
         scratch_shapes=[
             pltpu.VMEM((2, rows, W), jnp.float32),
             pltpu.VMEM((2, 8, W), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
+    out_dtype = jnp.float32 if emit is None else jnp.int32
+    args = (src_start,) if emit is None else \
+        (src_start, jnp.reshape(total, (1,)).astype(jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, mp_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, mp_pad), out_dtype),
         interpret=interpret,
-    )(src_start, tabf, srow)
+    )(*args, tabf, srow)
     return out[:, :max_pairs] if mp_pad != max_pairs else out
+
+
+def expand_pairs_binned(tabf: jnp.ndarray, base: jnp.ndarray,
+                        max_pairs: int, *, total, ntx: int, T: int,
+                        tile_w: int, tile_h: int, chunk: int = 16384,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused expansion that emits the compact TILE-SORT OPERANDS directly.
+
+    tabf must be the 8-row compact table (f32 bitcast of _build_compact's
+    tab_rows: xy0ws, base, m2x, m2y, qab, qcd, rgba, pad). Returns an
+    int32 [8, max_pairs] array in COMPACT_STORE row order:
+    row 0 packed tile-relative mean, 1 qab, 2 qcd, 3 rgba (zeroed on dead
+    or mean-saturated lanes), 4 tile id (T sentinel past `total`), 5-7
+    zero pad. On top of expand_pairs_fused this moves the tile-id mod/div,
+    the mean rebase + two-tier quantization, and the dead masking from
+    (rows, MP)-scale XLA ops to (1, C)-scale in-kernel ops.
+
+    total: traced int32 — live pair count (callers pass
+    min(total_pairs, max_pairs))."""
+    # plain shifter kernel + XLA blocked merge: measured faster than the
+    # in-kernel 256-candidate counts of _expand_fused_kernel (whose
+    # per-tile dynamic rotates + sublane reduces cost about what the dense
+    # merge did once _merge_rank_blocked made the merge ~free)
+    return expand_pairs(
+        tabf, base, max_pairs, chunk=chunk, interpret=interpret,
+        emit={"ntx": ntx, "tile_w": tile_w, "tile_h": tile_h, "T": T},
+        total=total)
 
 
 def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
@@ -385,6 +567,12 @@ def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     sorts with one small coarse-rank sort (N + max_pairs/128 rows) plus
     in-kernel 256-candidate value counts. Same contract as expand_pairs.
     """
+    return _expand_fused_common(tabf, base, max_pairs, chunk=chunk,
+                                interpret=interpret, emit=None, total=None)
+
+
+def _expand_fused_common(tabf, base, max_pairs, *, chunk, interpret,
+                         emit, total):
     rows = tabf.shape[0]
     assert rows % 8 == 0, "table rows must fill whole f32 sublane tiles"
     assert chunk % 128 == 0
@@ -412,11 +600,18 @@ def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     base_pad = jax.lax.dynamic_update_slice_in_dim(base_pad, base_c, 0, 0)
     baset = base_pad.reshape(bt_cols, 128).T         # [128, bt_cols]
 
-    # coarse ranks: coarse[i] = s((i-1)*128); entry 0 (pair -128) = -1
+    # FLOOR coarse ranks from the 128-DOWNSAMPLED base array:
+    # coarse[i] = 128·K with K = #{k: base[128k] <= (i-1)*128} − 1, i.e.
+    # the true s is within [coarse, coarse+127] and the kernel's two
+    # 128-candidate strips recover it exactly (see tile_body). Sorting
+    # N/128 + TP rows instead of N + TP makes the coarse stage ~free
+    # (the full-resolution _rank_at measured 4.75 ms at 1M splats).
+    # Entry 0 (the -128 prefix tile) stays a negative sentinel.
     qs = jnp.arange(TP + 1, dtype=jnp.int32) * 128   # pairs 0,128,...
+    base128 = base_c[::128]
     coarse = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32),
-         _rank_at(base_c, qs).astype(jnp.int32),
+        [jnp.full((1,), -128, jnp.int32),
+         _rank_at(base128, qs).astype(jnp.int32) * 128,
          jnp.zeros((1,), jnp.int32)])                # [TP + 3]
     # first table column of chunk g: s at pair g*C, floored to 128
     s_chunk = coarse[jnp.arange(G, dtype=jnp.int32) * (chunk // 128) + 1]
@@ -425,16 +620,18 @@ def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     tabf, baset, coarse, src_start = jax.lax.optimization_barrier(
         (tabf, baset, coarse, src_start))
 
-    kernel = functools.partial(_expand_fused_kernel, chunk=chunk, window=W)
+    kernel = functools.partial(_expand_fused_kernel, chunk=chunk, window=W,
+                               emit=emit)
+    n_prefetch = 2 if emit is None else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=n_prefetch,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((rows, chunk),
-                               index_map=lambda g, c, ss: (0, g)),
+                               index_map=lambda g, *_: (0, g)),
         scratch_shapes=[
             pltpu.VMEM((2, rows, W), jnp.float32),
             pltpu.VMEM((2, 128, _base_window_cols(W)), jnp.int32),
@@ -442,10 +639,13 @@ def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
+    out_dtype = jnp.float32 if emit is None else jnp.int32
+    args = (coarse, src_start) if emit is None else \
+        (coarse, src_start, jnp.reshape(total, (1,)).astype(jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, mp_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, mp_pad), out_dtype),
         interpret=interpret,
-    )(coarse, src_start, tabf, baset)
+    )(*args, tabf, baset)
     return out[:, :max_pairs] if mp_pad != max_pairs else out

@@ -80,7 +80,7 @@ def _blend_packed_kernel(
     term_eps: float, skip_range_check: bool, use_exp_lut: bool,
     exact_dots: bool, track_consumed: bool = False, ablate: str = "",
     compact: bool = False, scan_impl: str = "roll",
-    track_hits: bool = False, math_dtype: str = "f32",
+    track_hits: bool = False, math_dtype: str = "f32", cw: int = LANES,
 ):
     rest = list(rest)
     consumed_ref = rest.pop(0) if track_consumed else None
@@ -92,13 +92,13 @@ def _blend_packed_kernel(
 
     start = tile_start_ref[t0]
     end = tile_start_ref[t0 + bs]
-    astart = (start // LANES) * LANES          # aligned chunk origin
-    total_chunks = pl.cdiv(end - astart, LANES)
+    astart = (start // cw) * cw                # aligned chunk origin
+    total_chunks = pl.cdiv(end - astart, cw)
 
     def dma(slot, j):
-        col = pl.multiple_of(astart + j * LANES, LANES)
+        col = pl.multiple_of(astart + j * cw, cw)
         return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(col, LANES)], buf.at[slot],
+            payload_hbm.at[:, pl.ds(col, cw)], buf.at[slot],
             sem.at[slot])
 
     @pl.when(total_chunks > 0)
@@ -114,9 +114,21 @@ def _blend_packed_kernel(
     yloc = (p_idx // sub_w).astype(jnp.float32)
     xloc_m = xloc.astype(mdt)      # exact: subtile coords are small ints
     yloc_m = yloc.astype(mdt)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    krow = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
-    ones_lane = jnp.ones((1, LANES), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (bs, cw), 0)
+    ones_lane = jnp.ones((1, cw), jnp.float32)
+    if compact:
+        # EWA-on-MXU pixel matrix: row p = [x, y, 1, 0…] so the Cholesky
+        # response terms become t = P @ B with per-lane coefficient
+        # columns B = [l; c] — two tiny (win, 8)x(8, 128) MXU passes
+        # replace the five (win, 128) VPU ops (dx, dy, two FMAs, one mul)
+        # of the direct form. Compact-mode only: the f32 payload is the
+        # bit-parity tier and keeps the original arithmetic.
+        p_ewa = jnp.concatenate(
+            [xloc, yloc, jnp.ones((win, 1), jnp.float32),
+             jnp.zeros((win, 5), jnp.float32)], axis=1)       # (win, 8)
+        # pixel coords are small ints — exact in bf16
+        p_ewa16 = p_ewa.astype(jnp.float32 if exact_dots else jnp.bfloat16)
 
     inv_q = PACK_RANGE / 32767.0
     # Split-bf16 matmuls: the MXU rounds f32 operands to bf16 (~0.4%
@@ -175,6 +187,18 @@ def _blend_packed_kernel(
         return _dot2(a, b16, (((a.ndim - 1,), (b16.ndim - 1,)), ((), ())),
                      exact)
 
+    def dot_ewa(B):
+        # t = P @ B. Coefficient magnitudes reach ~|l|·|mean| (they cancel
+        # against the pixel terms), so the value side ALWAYS runs the
+        # hi/lo bf16 split — a single-pass bf16 B would put an absolute
+        # ~|c|·2⁻⁹ error into a t that is itself O(1), in every tier.
+        d = (((1,), (0,)), ((), ()))
+        if exact_dots:
+            return mm(p_ewa, B, d)
+        hi = B.astype(jnp.bfloat16)
+        lo = (B - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return mm(p_ewa16, hi, d) + mm(p_ewa16, lo, d)
+
     def body(state):
         j, trans, r_acc, g_acc, b_acc, *aux = state
         sat = aux.pop(0) if track_consumed else None
@@ -184,7 +208,7 @@ def _blend_packed_kernel(
         if track_consumed:
             # record, per tile column, the first chunk index at whose START
             # the whole subtile was already saturated: pairs before chunk
-            # `sat` sufficed (position bound astart + sat*LANES, <=128 over).
+            # `sat` sufficed (position bound astart + sat*cw, <= cw over).
             # trans is monotone non-increasing, so that index equals the
             # COUNT of still-unsaturated chunk starts — a plain add; a
             # scalar-j select against the lane vector is an invalid Mosaic
@@ -216,7 +240,7 @@ def _blend_packed_kernel(
         onehot = (krow == s_local).astype(acc_dtype)   # (bs, LANES)
 
         if ablate == "nodots":
-            trans_lane = trans[:, :LANES] * 1.0
+            trans_lane = trans[:, :1] * jnp.ones((1, cw), jnp.float32)
         else:
             trans_lane = dot_split(trans, onehot)      # (win, LANES)
 
@@ -236,20 +260,23 @@ def _blend_packed_kernel(
                     return jnp.where((w16 & 0x8000) != 0, coarse, fine)
 
                 w0 = pay_i_all[0:1, :]
-                mean_x = mean_axis((w0 >> 16) & 0xFFFF).astype(mdt)
-                mean_y = mean_axis(w0 & 0xFFFF).astype(mdt)
+                mean_x = mean_axis((w0 >> 16) & 0xFFFF)      # f32 (1, 128)
+                mean_y = mean_axis(w0 & 0xFFFF)
                 w1 = pay_i_all[1:2, :]
-                # Cholesky rows were PACKED as bf16 — the mdt cast is exact
-                l11 = pltpu.bitcast(w1 & jnp.int32(-65536),
-                                    jnp.float32).astype(mdt)
-                l21 = pltpu.bitcast(w1 << 16, jnp.float32).astype(mdt)
+                l11 = pltpu.bitcast(w1 & jnp.int32(-65536), jnp.float32)
+                l21 = pltpu.bitcast(w1 << 16, jnp.float32)
                 l22 = pltpu.bitcast(pay_i_all[2:3, :] & jnp.int32(-65536),
-                                    jnp.float32).astype(mdt)
-                # mean is TILE-relative: the tile-origin term cancels, and
-                # |dx| stays tile-scale — bf16's 8-bit mantissa holds ~0.04
-                # px at a 10 px offset (inside this tier's 1e-2 bound)
-                dx = xloc_m - mean_x                   # (win, LANES)
-                dy = yloc_m - mean_y
+                                    jnp.float32)
+                # fold gq's 1/2 into the factors (gq = t1² + t2² below)
+                rh = 0.7071067811865476
+                l11h, l21h, l22h = l11 * rh, l21 * rh, l22 * rh
+                # coefficient columns of the affine response terms:
+                # t1 = l11'·(x−mx) + l21'·(y−my),  t2 = l22'·(y−my)
+                c1 = -(l11h * mean_x + l21h * mean_y)
+                c2 = -(l22h * mean_y)
+                zrow = jnp.zeros((1, cw), jnp.float32)
+                B1 = jnp.concatenate([l11h, l21h, c1] + [zrow] * 5, axis=0)
+                B2 = jnp.concatenate([zrow, l22h, c2] + [zrow] * 5, axis=0)
                 # rgba8888: two-tier 8-bit colors + u8 opacity
                 # (tile_binning.pack_rgba8)
                 w3 = pay_i_all[3:4, :]
@@ -283,14 +310,14 @@ def _blend_packed_kernel(
                 cb = ((bo >> 15) & 0x7FFF).astype(jnp.float32) * inv_q
                 op = ((bo & 0x7FFF).astype(jnp.float32) * inv_q).astype(mdt)
             if compact:
-                t1 = l11 * dx + l21 * dy
-                t2 = l22 * dy
-                gq = 0.5 * (t1 * t1 + t2 * t2)
+                t1 = dot_ewa(B1).astype(mdt)           # (win, LANES)
+                t2 = dot_ewa(B2).astype(mdt)
+                gq = t1 * t1 + t2 * t2                 # the 1/2 is in B
             else:
                 gq = 0.5 * (qa * dx * dx + 2.0 * qb * dx * dy
                             + qc * dy * dy)
-            if ablate == "noewa":
-                gq = dx + dy                           # keep shape, skip math
+            if ablate == "noewa":                      # keep shape, skip math
+                gq = (xloc_m + mean_x.astype(mdt)) if compact else dx + dy
 
             # no liveness mask: out-of-group lanes match no one-hot column,
             # so their (real) alphas never touch a carry.
@@ -336,8 +363,8 @@ def _blend_packed_kernel(
                 # split (2 MXU passes vs 6 for Precision.HIGHEST — the
                 # variant the v3 docstring measured slower). α ≤
                 # alpha_clamp = 0.99 keeps log(1-α) ≥ log(0.01) — finite.
-                segmat = ((s_tile == s_tile.reshape(LANES, 1))
-                          & (lane > lane.reshape(LANES, 1)))  # (128, 128)
+                segmat = ((s_tile == s_tile.reshape(cw, 1))
+                          & (lane > lane.reshape(cw, 1)))  # (cw, cw)
                 # floor keeps log finite if alpha_clamp is ever 1.0: a
                 # -inf row would NaN-poison every segment through the
                 # matmul's -inf * 0 terms (the roll scan just yields 0)
@@ -347,7 +374,7 @@ def _blend_packed_kernel(
                 excl = jnp.where(same_seg(1),
                                  pltpu.roll(one_minus, shift=1, axis=1), 1.0)
                 d = 1
-                while d < LANES:
+                while d < cw:
                     excl = excl * jnp.where(
                         same_seg(d), pltpu.roll(excl, shift=d, axis=1), 1.0)
                     d *= 2
@@ -366,18 +393,30 @@ def _blend_packed_kernel(
                 b_acc = b_acc + 1e-30 * jnp.sum(w * cb)
                 trans = trans * (1.0 - 1e-30 * jnp.sum(one_minus))
                 return tuple([trans, r_acc, g_acc, b_acc] + haux)
-            rgb = jnp.concatenate([w * cr, w * cg, w * cb], axis=0)
-            rgb_cols = dot_lanes_split(rgb, onehot)    # (3*win, bs)
-            r_acc = r_acc + rgb_cols[:win]
-            g_acc = g_acc + rgb_cols[win:2 * win]
-            b_acc = b_acc + rgb_cols[2 * win:]
+            if compact:
+                # fold colors into the one-hot: (w∘(1⊗c)) @ Oᵀ = w @ (O∘c)ᵀ
+                # — the three (win, 128) color mults become (bs, 128) ops
+                # on the one-hot side, same MXU MACs. The colored one-hot
+                # rides as a single bf16 operand: its 2⁻⁹ color rounding
+                # sits below the rgba8 quantization already in this tier
+                # (exact f32 under interpret); w keeps its per-tier split.
+                cdt = acc_dtype
+                r_acc = r_acc + dot_lanes_split(w, onehot * cr.astype(cdt))
+                g_acc = g_acc + dot_lanes_split(w, onehot * cg.astype(cdt))
+                b_acc = b_acc + dot_lanes_split(w, onehot * cb.astype(cdt))
+            else:
+                rgb = jnp.concatenate([w * cr, w * cg, w * cb], axis=0)
+                rgb_cols = dot_lanes_split(rgb, onehot)    # (3*win, bs)
+                r_acc = r_acc + rgb_cols[:win]
+                g_acc = g_acc + rgb_cols[win:2 * win]
+                b_acc = b_acc + rgb_cols[2 * win:]
 
             # chunk totals: inclusive product at each segment's last
             # in-chunk lane, pulled to columns by a masked-sum matmul
             # (exactly one nonzero lane per present segment); absent
             # segments multiply by 1
-            nxt = pltpu.roll(s_tile, shift=LANES - 1, axis=1)  # s[q+1]
-            last = (s_tile != nxt) | (lane == LANES - 1)       # (1, LANES)
+            nxt = pltpu.roll(s_tile, shift=cw - 1, axis=1)     # s[q+1]
+            last = (s_tile != nxt) | (lane == cw - 1)          # (1, cw)
             onehot_last = onehot * last.astype(acc_dtype)
             incl = jnp.concatenate([excl * one_minus, ones_lane], axis=0)
             # exact hi/lo even in the bf16 tier: trans multiplies a chunk
@@ -445,7 +484,7 @@ def blend_packed(
     skip_range_check: bool = False, use_exp_lut: bool = False,
     track_consumed: bool = False, ablate: str = "",
     scan_impl: str = "roll", track_hits: bool = False,
-    math_dtype: str = "f32",
+    math_dtype: str = "f32", chunk: int = LANES,
 ):
     """Run the packed blend. `binning` must have been built with
     tile_w=sub_w, tile_h=sub_h (compact payloads are detected from the
@@ -470,6 +509,7 @@ def blend_packed(
     tests exercise the bf16 elementwise path only."""
     win = sub_w * sub_h
     assert win % 128 == 0, "subtile pixel count must be a multiple of 128"
+    assert chunk % 128 == 0, "pair chunk must be whole 128-lane tiles"
     assert bs % 8 == 0, "Mosaic output blocks need sublane dims % 8 == 0"
     compact = binning.payload.dtype == jnp.int32
     p_width = COMPACT_STORE if compact else PAYLOAD_WIDTH
@@ -491,7 +531,7 @@ def blend_packed(
         skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
         exact_dots=interpret, track_consumed=track_consumed, ablate=ablate,
         compact=compact, scan_impl=scan_impl, track_hits=track_hits,
-        math_dtype=math_dtype,
+        math_dtype=math_dtype, cw=chunk,
     )
 
     out_specs = [
@@ -522,7 +562,7 @@ def blend_packed(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, p_width, LANES), p_dtype),
+            pltpu.VMEM((2, p_width, chunk), p_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -438,6 +438,8 @@ def _finish_f32(
     mode, tile-rows in ellipse mode — a unit covers w_span tiles starting
     at (x0s, y0s), spanning 1 tile row when w_span == touched_s) to pairs,
     tile-sort, build the feature-major payload."""
+    if expand_impl == "binned":
+        expand_impl = "pallas"   # binned emit is compact-payload-only
     # --- expand units → pairs ---
     if expand_impl in ("pallas", "fused"):
         # streaming barrel-shift expansion at HBM bandwidth; "fused"
@@ -629,7 +631,9 @@ def _build_ellipse(
                 qa_s, qb_s, qc_s, op_s,
                 bi(rgp) if compact else rgp,
                 bi(bop) if compact else bop, depth_s]
-    if expand_impl in ("pallas", "fused"):
+    if expand_impl in ("pallas", "fused", "binned"):
+        # level 1 (splats → rows) has no tile ids to emit — "binned" uses
+        # the plain pallas expansion here and the binned emit at level 2
         from gsrt.ops.pair_expand import expand_pairs, expand_pairs_fused
         ep = expand_pairs_fused if expand_impl == "fused" else expand_pairs
         tabf = jnp.stack(
@@ -792,6 +796,44 @@ def _finish_compact(
                 jax.lax.bitcast_convert_type(m2x_s, jnp.int32),
                 jax.lax.bitcast_convert_type(m2y_s, jnp.int32),
                 qab, qcd, rgba, jnp.zeros_like(rgba)]
+    if expand_impl == "binned":
+        # fully-fused expansion: the kernel emits the five tile-sort
+        # operands directly (tile id from the in-kernel rank, packed
+        # tile-relative mean, dead/saturated lanes already inerted) — no
+        # dense merge sorts, no (rows, MP)-scale XLA tile-id stage, no
+        # dead-masking pass over the payload
+        from gsrt.ops.pair_expand import expand_pairs_binned
+        tabf = jax.lax.bitcast_convert_type(
+            jnp.stack(tab_rows, axis=0), jnp.float32)        # [8, N]
+        rb = expand_pairs_binned(
+            tabf, base, max_pairs, total=jnp.minimum(total, max_pairs),
+            ntx=ntx, T=T, tile_w=tile_w, tile_h=tile_h,
+            interpret=interpret)                             # [8, MP] int32
+        sorted_ops = jax.lax.sort((rb[4], rb[0], rb[1], rb[2], rb[3]),
+                                  num_keys=1, is_stable=True)
+        tile_s = sorted_ops[0]
+        feats_i = sorted_ops[1:5]
+        pair_depth_s = unpack_bf16_lo(sorted_ops[3]) if carry_depth else None
+        pad = chunk + 128
+        zeros_row = jnp.zeros_like(tile_s)
+        # dead lanes already carry rgba = 0 (inert) and the T sentinel;
+        # mean/quad words on them are garbage-but-inert, as documented
+        payload = jnp.stack(
+            list(feats_i) + [jnp.minimum(tile_s, T)]
+            + [zeros_row] * (COMPACT_STORE - COMPACT_WIDTH), axis=0)
+        tail = jnp.where(
+            jnp.arange(COMPACT_STORE)[:, None] == COMPACT_WIDTH - 1,
+            jnp.full((COMPACT_STORE, pad), T, jnp.int32),
+            jnp.zeros((COMPACT_STORE, pad), jnp.int32))
+        payload = jnp.concatenate([payload, tail], axis=1)
+        return TileBinning(
+            payload=payload,
+            tile_start=tile_start,
+            tile_count=counts,
+            total_pairs=total.astype(jnp.int32),
+            overflow=overflow,
+            pair_depth=pair_depth_s,
+        )
     if expand_impl in ("pallas", "fused"):
         from gsrt.ops.pair_expand import expand_pairs, expand_pairs_fused
         ep = expand_pairs_fused if expand_impl == "fused" else expand_pairs

@@ -57,7 +57,7 @@ def update_cutoff_map(aux: ServingAux, trans: jnp.ndarray,
                       old_map: jnp.ndarray, *, width: int, height: int,
                       tile_w: int, tile_h: int, bs: int,
                       term_eps: float = 1e-4, margin: float = 1.5,
-                      floor_pairs: int = 32):
+                      floor_pairs: int = 32, chunk: int = 128):
     """Fold one frame's saturation feedback into the per-tile depth-cutoff
     map. Returns (new_map [T] f32, violation [T] bool).
 
@@ -78,13 +78,14 @@ def update_cutoff_map(aux: ServingAux, trans: jnp.ndarray,
     tile_trans = tr.reshape(nty, tile_h, ntx, tile_w).max((1, 3)).reshape(-1)
     saturated = tile_trans < term_eps
 
+    cw = chunk                                # kernel chunk width (lanes)
     sat = aux.consumed.reshape(-1)[:T]        # first saturated chunk index
     grp = jnp.arange(T, dtype=jnp.int32) // bs
-    astart = (ts[grp * bs] // 128) * 128                  # group chunk base
+    astart = (ts[grp * bs] // cw) * cw                    # group chunk base
     end_g = ts[jnp.minimum((grp + 1) * bs, T)]
-    total_chunks = -(-(end_g - astart) // 128)
+    total_chunks = -(-(end_g - astart) // cw)
     sat_hit = sat < total_chunks              # == total_chunks -> never
-    satpos = jnp.where(sat_hit, astart + sat * 128, ts[1:T + 1])
+    satpos = jnp.where(sat_hit, astart + sat * cw, ts[1:T + 1])
     n_used = jnp.clip(satpos - ts[:T], 0, counts)
     target = jnp.minimum(
         (margin * n_used).astype(jnp.int32) + floor_pairs, counts)
@@ -115,6 +116,7 @@ def _serving_step(fm: FMCloud, camera: Camera, cutoff_map, cfg: RenderConfig,
         aux, out.trans, cutoff_map,
         width=camera.width, height=camera.height,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h, bs=cfg.blend_bs,
+        chunk=cfg.pair_chunk,
         term_eps=1e-4, margin=margin, floor_pairs=floor_pairs)
     scalars = jnp.stack([
         # violations only mean "a culled frame degraded" — without the

@@ -128,3 +128,22 @@ def test_fused_end_to_end_render():
                      max_pairs=1 << 15, interpret=True)
     np.testing.assert_array_equal(np.asarray(b.color), np.asarray(a.color))
     np.testing.assert_array_equal(np.asarray(b.trans), np.asarray(a.trans))
+
+
+def test_binned_end_to_end_render():
+    """expand_impl='binned' (in-kernel tile ids + packed means) through
+    the full tiled render must be bit-identical to 'pallas' on the
+    compact payload: the kernel replicates _finish_compact's tile-id,
+    mean-rebase/pack_mean_rel, and dead/saturated masking arithmetic."""
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.gaussian_rt import render_tiled
+    from gsrt.scene.catalog import random_cloud
+    cloud, camera = random_cloud(600, seed=7, width=128, height=96)
+    base = RenderConfig(width=128, height=96, conic_mode="standard",
+                        tile_w=32, tile_h=16, blend_impl="packed",
+                        payload="compact", expand_impl="pallas")
+    a = render_tiled(cloud, camera, base, max_pairs=1 << 14, interpret=True)
+    b = render_tiled(cloud, camera, base.replace(expand_impl="binned"),
+                     max_pairs=1 << 14, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b.color), np.asarray(a.color))
+    np.testing.assert_array_equal(np.asarray(b.trans), np.asarray(a.trans))

@@ -42,9 +42,17 @@ def run_one(expand: str, payload: str, span: str, scan: str,
                                  scale_range=(0.004, 0.03))
     fm = jax.block_until_ready(fm_from_cloud(cloud))
 
+    # optional sweep axes beyond the 5 positional tiers
+    extra = {}
+    if os.environ.get("GSRT_PAIR_CHUNK"):
+        extra["pair_chunk"] = int(os.environ["GSRT_PAIR_CHUNK"])
+    if os.environ.get("GSRT_TILE"):
+        tw, th = os.environ["GSRT_TILE"].split("x")
+        extra["tile_w"], extra["tile_h"] = int(tw), int(th)
     cfg = RenderConfig(width=W, height=H, conic_mode="standard",
                        expand_impl=expand, payload=payload,
-                       span_mode=span, scan_impl=scan, blend_math=math)
+                       span_mode=span, scan_impl=scan, blend_math=math,
+                       **extra)
     tracer = GaussianRayTracer(cfg, "tiled")
     mp = tracer.calibrate(cloud, camera)
     render = functools.partial(render_tiled, cfg=cfg, max_pairs=mp,
