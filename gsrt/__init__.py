@@ -32,19 +32,25 @@ import os as _os
 # minutes to compile cold on the axon backend, and every tool/test/bench
 # subprocess pays it again — the disk cache drops warm-process compiles to
 # cache-read time (verified to round-trip on the axon TPU backend).
+# Cache blobs are machine/JAX-version-specific build artifacts, so they
+# live under the XDG cache dir (never inside the repo). We don't override
+# a cache dir the embedder already configured via env var or jax.config.
 # Opt out with GSRT_NO_COMPILE_CACHE=1 (e.g. when diagnosing compiles).
 if not _os.environ.get("GSRT_NO_COMPILE_CACHE"):
     import jax as _jax
 
-    _cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache"))
-    try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:  # older jax without the knobs — cache is best-effort
-        pass
+    if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        _cache_dir = _os.path.join(
+            _os.environ.get("XDG_CACHE_HOME",
+                            _os.path.expanduser("~/.cache")),
+            "gsrt", "jax_cache")
+        try:
+            if not _jax.config.jax_compilation_cache_dir:
+                _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+                _jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:  # older jax without the knobs — best-effort
+            pass
 
 from gsrt.core.config import RenderConfig  # noqa: F401
 from gsrt.core.types import Camera, GaussianCloud  # noqa: F401
