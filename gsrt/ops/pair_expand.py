@@ -421,12 +421,17 @@ def _merge_rank_blocked(base: jnp.ndarray, mp_pad: int,
          (one _rank_at over N/128 + MP/128 rows — ~1% of the merge rows);
       2. per 128-pair block, slice-gather the 256-candidate base strip at
          the floor (vmapped dynamic_slice → contiguous-row gather);
-      3. a fused broadcast compare-reduce refines each pair's rank against
+      3. a broadcast compare-reduce refines each pair's rank against
          its strip: #{j: base_j <= p} = 128·K + #{j in strip: base_j <= p}
          (every j < 128·K has base_j <= base[128K] <= p_t <= p, and the
          count can exceed the strip by nothing: count(p_t) <= 128K + 128
          and p - p_t <= 127 with strictly increasing bases).
-    Measured ~1 ms at 1M splats / 3.7M pairs vs 12.2 ms for _merge_rank.
+    MEASURED LOSER on v5e (tools/sort_probe.py, 2026-08-21, 3.15M pairs):
+    24.7 ms vs 9.8 ms for _merge_rank — the (TP, 128, 256) compare-reduce
+    does not fuse on this backend. Kept as the reference implementation
+    for the in-kernel count logic (its unit test cross-checks the fused
+    kernel's rank math); do NOT put it back on the default path without
+    a fresh measurement.
     """
     TP = mp_pad // 128
     base_c = jnp.minimum(base, mp_pad)
@@ -483,11 +488,13 @@ def expand_pairs(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
     n_pad = W + ((-N) % 128)
     tabf = jnp.pad(tabf, ((0, 0), (0, n_pad)))
 
-    # per-pair source index. The original two-packed-sort merge
-    # (_merge_rank) measured 12.2 ms at 3.7M pairs; the blocked form
-    # (coarse floor ranks + strip gather + fused compare-reduce) computes
-    # the identical value in ~1 ms.
-    s_pair = _merge_rank_blocked(base, mp_pad, N)
+    # per-pair source index via the two-packed-sort merge. Measured on v5e
+    # at 3.15M pairs / 1M splats (tools/sort_probe.py, 2026-08-21):
+    # _merge_rank 9.8 ms vs _merge_rank_blocked 24.7 ms — the blocked
+    # form's (TP, 128, 256) strip compare-reduce does NOT fuse on this
+    # backend and its brief round-4 stint as the default here cost the
+    # whole frame ~7 ms (BENCH_r04 22.76 vs 27.0 with this line reverted).
+    s_pair = _merge_rank(base, mp_pad, N)
     srow = jnp.pad(s_pair[None, :], ((0, 7), (128, 0)))  # [8, mp_pad + 128]
 
     # first table row covering pair g*C, 128-aligned down for the window
@@ -549,11 +556,14 @@ def expand_pairs_binned(tabf: jnp.ndarray, base: jnp.ndarray,
 
     total: traced int32 — live pair count (callers pass
     min(total_pairs, max_pairs))."""
-    # plain shifter kernel + XLA blocked merge: measured faster than the
-    # in-kernel 256-candidate counts of _expand_fused_kernel (whose
-    # per-tile dynamic rotates + sublane reduces cost about what the dense
-    # merge did once _merge_rank_blocked made the merge ~free)
-    return expand_pairs(
+    # fused-kernel form: in-kernel 256-candidate rank counts replace the
+    # dense merge entirely. Measured on v5e at 3.15M pairs / 1M splats
+    # (tools/sort_probe.py, 2026-08-21): expand_fused 9.4 ms total vs
+    # 9.8 ms for the dense _merge_rank ALONE (+ the shifter kernel on
+    # top) — the round-3 "fused loses" verdict was Mosaic fori_loop
+    # branch overhead, fixed by the 16-way manual unroll in
+    # _expand_fused_kernel.
+    return _expand_fused_common(
         tabf, base, max_pairs, chunk=chunk, interpret=interpret,
         emit={"ntx": ntx, "tile_w": tile_w, "tile_h": tile_h, "T": T},
         total=total)

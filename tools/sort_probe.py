@@ -28,8 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 import gsrt  # noqa: F401  (enables the compile cache)
-from gsrt.ops.pair_expand import (_merge_rank, _rank_at, expand_pairs,
-                                  expand_pairs_fused, _DEAD_BASE)
+from gsrt.ops.pair_expand import (_merge_rank, _merge_rank_blocked, _rank_at,
+                                  expand_pairs, expand_pairs_fused,
+                                  _DEAD_BASE)
 
 
 def timeit(fn, *args, n=8):
@@ -86,9 +87,12 @@ def main():
     base = jnp.asarray(base_np)
     tab8 = jnp.asarray(rng.random((8, N)).astype(np.float32))
 
+    MP_pad = -(-MP // 16384) * 16384     # what expand_pairs actually asks
     rows += [
         ("merge_rank (dense s)", jax.jit(
             lambda b: _merge_rank(b, MP, N)), (base,)),
+        ("merge_rank_blocked", jax.jit(
+            lambda b: _merge_rank_blocked(b, MP_pad, N)), (base,)),
         ("rank_at (coarse s)", jax.jit(
             lambda b: _rank_at(jnp.minimum(b, MP),
                                jnp.arange(MP // 128 + 1, dtype=jnp.int32)
