@@ -71,8 +71,12 @@ def main() -> None:
 
     if on_tpu:
         from gsrt.models.gaussian_rt import GaussianRayTracer, fm_from_cloud
-        mp = GaussianRayTracer(cfg, "tiled").calibrate(cloud, camera)
-        render = functools.partial(render_tiled, cfg=cfg, max_pairs=mp)
+        tracer = GaussianRayTracer(cfg, "tiled")
+        mp = tracer.calibrate(cloud, camera)
+        # max_rows sizes the group-stream unit buffer (falls back to a
+        # fat max_pairs-sized buffer if omitted — ~13 ms/frame of waste)
+        render = functools.partial(render_tiled, cfg=cfg, max_pairs=mp,
+                                   max_rows=tracer.max_rows)
         # one-time feature-major relayout (scene-build cost, not frame cost)
         cloud = jax.block_until_ready(fm_from_cloud(cloud))
     else:

@@ -63,20 +63,30 @@ class RenderConfig:
     # it; 59.3 dB vs 16x16, pure chunk-regrouping noise).
     tile_w: int = 32
     tile_h: int = 16
-    pair_chunk: int = 128       # pairs per kernel chunk (multiple of 128;
-                                # subtile kernel wants 128; the 128x8 kernel
-                                # measured best at 384)
-    expand_impl: Literal["pallas", "xla", "fused", "binned"] = "pallas"
-                                # "fused": pallas expansion with the
-                                # pair->source merge computed in-kernel
-                                # (drops the two dense merge sorts)
-                                # "binned": fused expansion that also emits
-                                # the compact tile-sort operands (tile id,
-                                # packed tile-relative mean) in-kernel —
-                                # compact payload only (f32 falls back to
-                                # "pallas")
-                                # pair expansion: Pallas barrel-shift kernel
-                                # (fast) or XLA jnp.repeat (fallback)
+    pair_chunk: int = 384       # pairs per kernel chunk (multiple of 128).
+                                # 384 measured on v5e 2026-08-21 at the
+                                # headline workload: packed-blend 49.5 ->
+                                # 38.8 ms (tile stream) / 51.3 -> 35.5
+                                # (group stream) vs 128 — fewer chunk
+                                # boundaries amortize the per-chunk
+                                # carries/totals; 512 is within noise
+                                # (36.9/35.6). The subtile and 128x8
+                                # kernels still run 128 (clamped at their
+                                # call sites)
+    expand_impl: Literal["pallas", "xla", "fused", "binned"] = "fused"
+                                # pair expansion. "fused" (DEFAULT since
+                                # r5): barrel-shift kernel with the
+                                # pair->source merge computed in-kernel —
+                                # measured 74.4 ms/frame vs pallas 76.1,
+                                # binned 76.6 at 1M/1080p on v5e
+                                # 2026-08-21 (the round-3 "fused loses"
+                                # verdict was Mosaic fori_loop overhead,
+                                # fixed by a 16-way manual unroll).
+                                # "pallas": kernel + XLA dense merge-rank.
+                                # "binned": fused + in-kernel emit of the
+                                # compact tile-sort operands (compact
+                                # payload only; f32 falls back to pallas).
+                                # "xla": jnp.repeat reference fallback.
     blend_impl: Literal["packed", "subtile"] = "packed"
                                 # subtile blend kernel for non-128x8 tiles:
                                 # "packed" streams globally-aligned 128-lane
@@ -101,7 +111,10 @@ class RenderConfig:
                                 # "logmm" = log-space segmented-triangular
                                 # MXU matmul (hi/lo bf16 split). logmm
                                 # measured 95.7 vs 105.9 ms/frame on v5e
-                                # (1M @1080p); image delta 1.1e-4.
+                                # (1M @1080p); image delta 1.1e-4. roll is
+                                # the MEASURED LOSER, kept as the exact-
+                                # reassociation fallback (one regression
+                                # test); required OFF for stream="group"
     blend_math: Literal["f32", "bf16"] = "bf16"
                                 # packed-kernel elementwise math tier:
                                 # "bf16" halves the VPU vregs of the
@@ -130,6 +143,27 @@ class RenderConfig:
                                 # f32 — the default serving tier; paths
                                 # that need f32 (VJP, ntx > 127) fall
                                 # back automatically
+    stream: Literal["tile", "group"] = "group"
+                                # pair-stream granularity for the packed
+                                # blend path. "tile": pairs are sorted by
+                                # tile id (the 3.15M-row, 5-operand stable
+                                # tile sort). "group": pairs only need
+                                # contiguity per KERNEL GROUP (bs tiles =
+                                # k full tile rows); splats expand to
+                                # (splat x row-group) units (~1.1x splats),
+                                # the stable sort runs at UNIT scale, and
+                                # the pair-level sort disappears — the
+                                # blend kernel's one-hot routing already
+                                # tolerates within-group tile interleaving
+                                # when the logmm scan + order-independent
+                                # chunk totals are used. Requires compact
+                                # payload + packed blend + logmm + rect
+                                # spans and a tile grid with k*ntx <= 128,
+                                # (k*ntx) % 8 == 0 (1080p at 16/32 px
+                                # tiles qualifies); falls back to "tile"
+                                # otherwise. DEFAULT since r5: 59.5 vs
+                                # 61.7 ms (tile) at the headline workload
+                                # with pair_chunk=384 (2026-08-21)
     span_mode: Literal["rect", "ellipse"] = "rect"
                                 # pair generation: "rect" = one pair per
                                 # tile of the footprint's bounding box;
@@ -137,7 +171,12 @@ class RenderConfig:
                                 # exact footprint ellipse (fewer pairs,
                                 # identical image — bbox-corner tiles
                                 # contain no above-threshold pixel). Needs
-                                # nty <= 255 (falls back to rect above)
+                                # nty <= 255 (falls back to rect above).
+                                # MEASURED LOSER at the headline workload
+                                # (r3: 113.7/104.3 vs 95.7 ms — footprints
+                                # are small vs tiles, so the bbox is near-
+                                # tight); opt-in for large-splat regimes
+                                # only, one regression test
     serving_super: int = 8      # tiles per supertile side for the serving
                                 # cutoff coarsening (gsrt.serving): smaller
                                 # = finer cull granularity, larger = cheaper

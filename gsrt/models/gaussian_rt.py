@@ -420,6 +420,20 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
     span_mode = cfg.span_mode
     if span_mode == "ellipse" and -(-camera.height // th) > 255:
         span_mode = "rect"  # 8-bit row-count budget (ok through 4K at 16px)
+    # group-contiguous stream (no pair-level sort): needs the compact
+    # payload + packed blend + logmm scan + rect spans, a qualifying tile
+    # grid, and the tile-sorted layout's per-tile offsets nowhere —
+    # serving's cutoff feedback reads per-tile pair positions, so serving
+    # stays on the tile stream
+    from gsrt.ops.tile_binning import group_rows_k
+    ntx_g = -(-camera.width // tw)
+    group_k = group_rows_k(ntx_g)
+    stream = cfg.stream
+    if stream == "group" and not (
+            compact and cfg.blend_impl == "packed" and not serving
+            and cfg.scan_impl == "logmm" and span_mode == "rect"
+            and (tw, th) != (128, 8) and group_k is not None):
+        stream = "tile"
     binning = build_tile_binning(
         depth, m2x, m2y, qa, qb, qc, fm.opacity, cr, cg, cb, rx, ry, alive,
         width=camera.width, height=camera.height,
@@ -429,7 +443,8 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         cutoff_map=cutoff_map, carry_depth=serving,
         cull_super=cfg.serving_super, compact=compact,
         span_mode=span_mode, max_rows=max_rows,
-        g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold)
+        g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
+        stream=stream)
     # Materialize binning outputs before the Pallas call: fusing XLA ops
     # into the kernel's operands produced wrong layouts/garbage reads on
     # the TPU backend (kernel verified correct on materialized inputs).
@@ -447,7 +462,7 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         from gsrt.ops.splat_pallas import blend_tiles
         color, trans = blend_tiles(
             binning, width=camera.width, height=camera.height,
-            chunk=cfg.pair_chunk,
+            chunk=min(cfg.pair_chunk, 128),  # this kernel wants 128
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
             skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
@@ -455,7 +470,8 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         from gsrt.ops.splat_subtile import blend_subtiles
         color, trans = blend_subtiles(
             binning, width=camera.width, height=camera.height,
-            sub_w=tw, sub_h=th, chunk=cfg.pair_chunk,
+            sub_w=tw, sub_h=th,
+            chunk=min(cfg.pair_chunk, 128),  # this kernel wants 128
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
             skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut)
@@ -463,13 +479,20 @@ def render_tiled(cloud: GaussianCloud, camera: Camera, cfg: RenderConfig,
         from gsrt.ops.splat_packed import blend_packed
         res = blend_packed(
             binning, width=camera.width, height=camera.height,
-            sub_w=tw, sub_h=th, bs=cfg.blend_bs,
+            sub_w=tw, sub_h=th,
+            bs=(group_k * ntx_g if stream == "group" else cfg.blend_bs),
+            group_stream=(stream == "group"),
             g_cutoff=cfg.g_cutoff, alpha_threshold=cfg.alpha_threshold,
             alpha_clamp=alpha_clamp, interpret=interpret,
             skip_range_check=skip_range, use_exp_lut=cfg.use_exp_lut,
             track_consumed=serving, scan_impl=cfg.scan_impl,
             track_hits=cfg.exact_hits, math_dtype=cfg.blend_math,
-            chunk=cfg.pair_chunk)
+            # serving reads saturation POSITIONS from the consumed map at
+            # chunk granularity — large chunks round satpos up to the
+            # chunk end and the cull never engages (found by
+            # test_static_camera_converges_with_cull when the default
+            # chunk went 128 -> 384)
+            chunk=min(cfg.pair_chunk, 128) if serving else cfg.pair_chunk)
         res = list(res)
         color, trans = res[0], res[1]
         consumed = res[2] if serving else None
@@ -667,6 +690,18 @@ def count_rows_pairs_numpy(cloud: GaussianCloud, camera: Camera,
     return int((tx1 - tx0 + 1).sum()), int(rows.sum())
 
 
+def count_units_numpy(cloud: GaussianCloud, camera: Camera,
+                      cfg: RenderConfig, k: int) -> tuple[int, int]:
+    """Host-side (pairs, row-group units) for the group-contiguous stream
+    (tile_binning._build_group_stream): a unit per k-tile-row band the
+    footprint bbox crosses."""
+    import numpy as np
+    s = _spans_numpy(cloud, camera, cfg)
+    alive = s["touched"] > 0
+    units = np.where(alive, s["y1"] // k - s["y0"] // k + 1, 0)
+    return int(s["touched"].sum()), int(units.sum())
+
+
 def _spans_numpy(cloud: GaussianCloud, camera: Camera,
                  cfg: RenderConfig) -> dict:
     """Shared NumPy projection + rect tile spans for the host-side pair
@@ -796,11 +831,28 @@ class GaussianRayTracer:
         # so sizing must not go through jax at all.
         ellipse = (self.cfg.span_mode == "ellipse"
                    and -(-camera.height // self.cfg.tile_h) <= 255)
+        # group-stream eligibility must mirror render_tiled's gating, or
+        # the unit buffer would stay unsized (falling back to a fat
+        # max_pairs-sized level-1 buffer)
+        from gsrt.ops.tile_binning import group_rows_k
+        ntx = -(-camera.width // self.cfg.tile_w)
+        group_k = group_rows_k(ntx)
+        group = (self.cfg.stream == "group" and not ellipse
+                 and self.cfg.payload == "compact"
+                 and self.cfg.blend_impl == "packed"
+                 and self.cfg.scan_impl == "logmm"
+                 and self.cfg.span_mode == "rect"
+                 and ntx <= 127 and group_k is not None
+                 and (self.cfg.tile_w, self.cfg.tile_h) != (128, 8))
         if ellipse:   # must mirror render_tiled's rect fallback exactly,
                       # or rect-mode pair counts permanently overflow the
                       # ellipse-sized bucket
             total, rows = count_rows_pairs_numpy(cloud, camera, self.cfg)
             self.max_rows = pair_bucket(int(rows * 1.1))
+        elif group:
+            total, units = count_units_numpy(cloud, camera, self.cfg,
+                                             group_k)
+            self.max_rows = pair_bucket(int(units * 1.1))
         else:
             total = int(count_pairs_numpy(cloud, camera, self.cfg))
             self.max_rows = None

@@ -81,6 +81,7 @@ def _blend_packed_kernel(
     exact_dots: bool, track_consumed: bool = False, ablate: str = "",
     compact: bool = False, scan_impl: str = "roll",
     track_hits: bool = False, math_dtype: str = "f32", cw: int = LANES,
+    group_stream: bool = False,
 ):
     rest = list(rest)
     consumed_ref = rest.pop(0) if track_consumed else None
@@ -89,6 +90,14 @@ def _blend_packed_kernel(
     grp = pl.program_id(0)
     t0 = grp * bs
     win = sub_w * sub_h
+    # group_stream: the transmittance carry lives in LOG space — the
+    # per-chunk totals become a plain add (no exp), and the scan's exp
+    # fuses with the carry routing into ONE exp per chunk (the kernel is
+    # transcendental-bound: exp/log on (win, cw) dominate)
+    assert not (group_stream and ablate), \
+        "ablation modes assume the tile-sorted stream"
+    import math
+    log_eps = math.log(term_eps) if group_stream else None
 
     start = tile_start_ref[t0]
     end = tile_start_ref[t0 + bs]
@@ -214,7 +223,8 @@ def _blend_packed_kernel(
             # scalar-j select against the lane vector is an invalid Mosaic
             # relayout (replicated destination) on real TPU
             colmax = jnp.max(trans, axis=0, keepdims=True)    # (1, bs)
-            sat = sat + (colmax >= term_eps).astype(jnp.int32)
+            sat = sat + (colmax >= (log_eps if group_stream else term_eps)
+                         ).astype(jnp.int32)
 
         @pl.when(j + 1 < total_chunks)
         def _():
@@ -242,6 +252,8 @@ def _blend_packed_kernel(
         if ablate == "nodots":
             trans_lane = trans[:, :1] * jnp.ones((1, cw), jnp.float32)
         else:
+            # group mode: trans is log-space, so this routes LOG
+            # transmittance per lane (the exp happens fused into w below)
             trans_lane = dot_split(trans, onehot)      # (win, LANES)
 
         def blend(args):
@@ -354,7 +366,17 @@ def _blend_packed_kernel(
                 return (s_tile == pltpu.roll(s_tile, shift=d, axis=1)) & \
                        (lane >= d)
 
-            if ablate == "noscan":
+            if group_stream:
+                # one fused exp: w = α·excl·trans_lane with excl =
+                # exp(lm@segmat) and trans_lane already in log space —
+                # exp(scan_log + logtrans) replaces the separate excl exp
+                # AND the former order-independent totals exp
+                segmat = ((s_tile == s_tile.reshape(cw, 1))
+                          & (lane > lane.reshape(cw, 1)))  # (cw, cw)
+                lm = jnp.log(jnp.maximum(one_minus, 1e-30))
+                scan_log = dot_split(lm, segmat.astype(acc_dtype))
+                w = alpha * jnp.exp(scan_log + trans_lane)
+            elif ablate == "noscan":
                 excl = one_minus
             elif scan_impl == "logmm":
                 # log-space scan on the MXU: excl = exp(log(1-α) @ M) with
@@ -371,15 +393,41 @@ def _blend_packed_kernel(
                 lm = jnp.log(jnp.maximum(one_minus, 1e-30))   # (win, 128)
                 excl = jnp.exp(dot_split(lm, segmat.astype(acc_dtype)))
             else:
-                excl = jnp.where(same_seg(1),
-                                 pltpu.roll(one_minus, shift=1, axis=1), 1.0)
+                # bf16 tier: the whole masked Hillis-Steele scan runs in
+                # bf16 (two lanes per vreg slot — this is the scan the
+                # logmm transcendental pair replaced; in bf16 it has no
+                # transcendental at all). Error: ~log2(run length) bf16
+                # roundings per lane (the scan is a depth-log2 product
+                # tree, not a serial chain), ≤ 8·2⁻⁹ ≈ 1.6e-2 relative
+                # worst case — the documented bf16-tier bound; the chunk
+                # totals below keep their exact split
+                sdt = mdt
+
+                def roll_s(v, d):
+                    # Mosaic rejects lane rotates on non-32-bit data;
+                    # roll the int32 bit view instead — it packs two
+                    # bf16 SUBLANES per word, and a lane-axis roll moves
+                    # both identically (no-op wrapper in the f32 tier;
+                    # interpret mode rolls bf16 directly — CPU allows it)
+                    if sdt == jnp.float32 or exact_dots:
+                        return pltpu.roll(v, shift=d, axis=1)
+                    vi = pltpu.bitcast(v, jnp.int32)
+                    return pltpu.bitcast(pltpu.roll(vi, shift=d, axis=1),
+                                         jnp.bfloat16)
+
+                one16 = one_minus.astype(sdt)
+                excl = jnp.where(same_seg(1), roll_s(one16, 1),
+                                 jnp.ones((), sdt))
                 d = 1
                 while d < cw:
                     excl = excl * jnp.where(
-                        same_seg(d), pltpu.roll(excl, shift=d, axis=1), 1.0)
+                        same_seg(d), roll_s(excl, d),
+                        jnp.ones((), sdt))
                     d *= 2
+                excl = excl.astype(jnp.float32)
 
-            w = alpha * excl * trans_lane              # (win, LANES)
+            if not group_stream:
+                w = alpha * excl * trans_lane          # (win, LANES)
 
             if track_hits:
                 # exact per-pixel accepted-pair count: accept and onehot
@@ -411,6 +459,28 @@ def _blend_packed_kernel(
                 g_acc = g_acc + rgb_cols[win:2 * win]
                 b_acc = b_acc + rgb_cols[2 * win:]
 
+            if group_stream:
+                # ORDER-INDEPENDENT chunk totals: the group stream
+                # interleaves tiles within a chunk (pairs are only
+                # depth-ordered PER TILE), so "inclusive product at the
+                # segment's last lane" is meaningless — the per-tile
+                # total is the sum of the tile's lanes' lm, and with the
+                # carry in log space the update is a plain ADD (tiles
+                # absent from the chunk get +0 for free). Exact hi/lo
+                # split keeps the log-sum at ~2^-17 relative for the
+                # term_eps gate.
+                trans = trans + dot_lanes_split(lm, onehot, exact=True)
+                return tuple([trans, r_acc, g_acc, b_acc] + haux)
+            if half:
+                # bf16 tier: the chunk totals must NOT reuse excl (the
+                # roll scan's excl is bf16-rounded, and a totals error
+                # compounds multiplicatively into trans across chunks) —
+                # take the exact-split log-sum per tile column instead
+                # (order-independent, absent tiles get exp(0) = 1)
+                lm_t = jnp.log(jnp.maximum(one_minus, 1e-30))
+                trans = trans * jnp.exp(
+                    dot_lanes_split(lm_t, onehot, exact=True))
+                return tuple([trans, r_acc, g_acc, b_acc] + haux)
             # chunk totals: inclusive product at each segment's last
             # in-chunk lane, pulled to columns by a masked-sum matmul
             # (exactly one nonzero lane per present segment); absent
@@ -435,8 +505,17 @@ def _blend_packed_kernel(
         # terminated rays visiting no further BVH nodes)
         carry_in = (trans, r_acc, g_acc, b_acc) \
             + ((hits,) if track_hits else ())
-        carry_out = jax.lax.cond(
-            jnp.max(trans_lane) > term_eps, blend, lambda a: a, carry_in)
+        # group mode gate: routed log-trans, with out-of-group lanes
+        # masked to -inf (their routed value is 0 = log 1, which would
+        # otherwise hold the gate open forever) — same "present tiles
+        # saturated" semantics as the tile stream's gate
+        if group_stream:
+            in_grp = (s_local >= 0) & (s_local < bs)       # (1, cw)
+            gate = jnp.max(jnp.where(in_grp, trans_lane, -jnp.inf)) \
+                > log_eps
+        else:
+            gate = jnp.max(trans_lane) > term_eps
+        carry_out = jax.lax.cond(gate, blend, lambda a: a, carry_in)
         trans, r_acc, g_acc, b_acc = carry_out[:4]
         if track_hits:
             hits = carry_out[4]
@@ -448,7 +527,9 @@ def _blend_packed_kernel(
         return state[0] < total_chunks
 
     zero = jnp.zeros((win, bs), jnp.float32)
-    init = (jnp.int32(0), zero + 1.0, zero, zero, zero)
+    # group mode: log-space carry, log(1) = 0
+    init = (jnp.int32(0), zero if group_stream else zero + 1.0,
+            zero, zero, zero)
     if track_consumed:
         # iota-derived zeros: a constant init takes a lane-REPLICATED
         # Mosaic layout, and the loop body's lane-distributed update can
@@ -468,7 +549,7 @@ def _blend_packed_kernel(
     if track_hits:
         hits_ref[...] = aux.pop(0).T.astype(jnp.int32)
 
-    trans_ref[...] = trans.T
+    trans_ref[...] = jnp.exp(trans).T if group_stream else trans.T
     color_ref[0, :, :] = r_acc.T
     color_ref[1, :, :] = g_acc.T
     color_ref[2, :, :] = b_acc.T
@@ -485,6 +566,7 @@ def blend_packed(
     track_consumed: bool = False, ablate: str = "",
     scan_impl: str = "roll", track_hits: bool = False,
     math_dtype: str = "f32", chunk: int = LANES,
+    group_stream: bool = False,
 ):
     """Run the packed blend. `binning` must have been built with
     tile_w=sub_w, tile_h=sub_h (compact payloads are detected from the
@@ -511,6 +593,11 @@ def blend_packed(
     assert win % 128 == 0, "subtile pixel count must be a multiple of 128"
     assert chunk % 128 == 0, "pair chunk must be whole 128-lane tiles"
     assert bs % 8 == 0, "Mosaic output blocks need sublane dims % 8 == 0"
+    if group_stream:
+        # the group stream interleaves tiles within a chunk: the roll
+        # scan's run-adjacency segments and the run-based chunk totals
+        # are both invalid there (tile_binning._build_group_stream)
+        assert scan_impl == "logmm", "group stream requires the logmm scan"
     compact = binning.payload.dtype == jnp.int32
     p_width = COMPACT_STORE if compact else PAYLOAD_WIDTH
     p_dtype = jnp.int32 if compact else jnp.float32
@@ -531,7 +618,7 @@ def blend_packed(
         skip_range_check=skip_range_check, use_exp_lut=use_exp_lut,
         exact_dots=interpret, track_consumed=track_consumed, ablate=ablate,
         compact=compact, scan_impl=scan_impl, track_hits=track_hits,
-        math_dtype=math_dtype, cw=chunk,
+        math_dtype=math_dtype, cw=chunk, group_stream=group_stream,
     )
 
     out_specs = [

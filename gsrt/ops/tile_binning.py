@@ -320,6 +320,20 @@ def tile_histogram(x0, x1, y0, y1, alive, ntx: int, nty: int,
     return jnp.cumsum(diff, axis=1)[:, :ntx].astype(jnp.int32)
 
 
+def group_rows_k(ntx: int, bs_max: int = 128) -> int | None:
+    """Rows of tiles per kernel group for the group-contiguous stream:
+    the largest k with k*ntx <= bs_max and (k*ntx) % 8 == 0 (Mosaic block
+    constraint). None when no k qualifies (caller falls back to the
+    tile-sorted stream)."""
+    best = None
+    # k <= 31: unit row counts ride the 5 spare bits of the unit sort's
+    # geometry word (x0 needs only 7 of its 12-bit field)
+    for k in range(1, min(bs_max // max(ntx, 1), 31) + 1):
+        if (k * ntx) % 8 == 0:
+            best = k
+    return best
+
+
 def build_tile_binning(
     depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb, rx, ry, alive,
     *, width: int, height: int, tile_w: int = 128, tile_h: int = 8,
@@ -329,6 +343,7 @@ def build_tile_binning(
     cull_super: int = SUPER, compact: bool = False,
     span_mode: str = "rect", max_rows: int | None = None,
     g_cutoff: float = 5.6, alpha_threshold: float = 1.0 / 255.0,
+    stream: str = "tile",
 ) -> TileBinning:
     """Bin splats into per-tile, depth-sorted pair lists.
 
@@ -387,6 +402,20 @@ def build_tile_binning(
     # segment inside the payload (image is wrong until the caller
     # re-calibrates on the overflow flag, but memory stays safe)
     tile_start = jnp.minimum(tile_start, jnp.minimum(total, max_pairs))
+
+    if compact and stream == "group":
+        k = group_rows_k(ntx)
+        assert k is not None and not with_ids, \
+            "group stream needs a qualifying tile grid and no VJP ids " \
+            "(callers gate on group_rows_k and fall back to tile)"
+        return _build_group_stream(
+            depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb,
+            x0, x1, y0, y1, touched, ntx=ntx, nty=nty, T=T,
+            tile_w=tile_w, tile_h=tile_h, chunk=chunk, max_pairs=max_pairs,
+            max_units=max_rows if max_rows is not None else max_pairs,
+            interpret=interpret, carry_depth=carry_depth, k_rows=k,
+            counts=counts, tile_start=tile_start, total=total,
+            overflow=overflow)
 
     if compact:
         return _build_compact(
@@ -726,6 +755,140 @@ def _build_ellipse(
         carry_depth=carry_depth, with_ids=False)
 
 
+def _build_group_stream(
+    depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb,
+    x0, x1, y0, y1, touched, *, ntx, nty, T, tile_w, tile_h, chunk,
+    max_pairs, max_units, interpret, carry_depth, k_rows,
+    counts, tile_start, total, overflow,
+) -> TileBinning:
+    """Group-contiguous pair stream: NO pair-level sort.
+
+    The packed blend kernel reads tile_start only at kernel-GROUP
+    boundaries (bs tiles per grid step) and routes lanes to subtile
+    columns by the payload-carried tile id — so pairs never needed
+    (tile, depth) order, only (a) contiguity per group and (b) depth
+    order per tile. With groups aligned to k full tile ROWS (bs = k*ntx),
+    a pair's group is known at SPLAT level: splats expand to
+    (splat x row-group) UNITS (~1.05-1.3x the splat count — most
+    footprints fit one k-row band), ONE stable unit-level sort by group
+    id replaces the 5-operand sort over every pair, and the fused binned
+    expansion emits the final payload directly. The within-group tile
+    interleaving this produces requires the logmm scan (its segment
+    matrix is built from tile-id equality, not run adjacency) and the
+    order-independent chunk-total update (splat_packed group_stream=True).
+
+    Cost model vs _build_compact + tile sort, at 1M splats / 3.15M pairs
+    (v5e, tools/sort_probe.py 2026-08-21): the pair-level stable 5-operand
+    sort is 16.8 ms; the unit sort runs the same operand count at ~1/2.8
+    the rows, and the tile-id/mean/masking stages ride the expansion
+    kernel at (1, C) scale.
+
+    Reference analogy: the reference's per-warp coherence tables
+    (SURVEY.md S8) exploit ray locality within a warp; here the kernel
+    group IS the warp-analogue, and the stream is materialized directly
+    in its granularity instead of being fully sorted first.
+    """
+    from gsrt.ops.pair_expand import _DEAD_BASE, expand_pairs, \
+        expand_pairs_binned
+
+    N = depth.shape[0]
+    assert ntx <= 127, "compact payload packs the tile x-span in 7 bits"
+    assert nty < (1 << 12)
+    k = k_rows
+    n_groups = -(-nty // k)
+
+    # --- depth carry-sort (as _build_compact, with the row count packed
+    # into the geometry word: x0 7b | y0 12b | rows 12b = 31 bits) ---
+    key = jnp.where(touched > 0, depth, jnp.inf)
+    rows_n = jnp.where(touched > 0, y1 - y0 + 1, 0)
+    xy0g = x0 | (y0 << 7) | (rows_n << 19)
+    w_spl = jnp.where(touched > 0, x1 - x0 + 1, 1)
+    l11 = jnp.sqrt(jnp.maximum(qa_c, 1e-12))
+    l21 = qb_c / jnp.maximum(l11, 1e-12)
+    l22 = jnp.sqrt(jnp.maximum(qc_c - l21 * l21, 1e-12))
+    qab = pack_bf16_pair(l11, l21)
+    qcd = pack_bf16_pair(l22, depth)
+    rgba = pack_rgba8(cr, cg, cb, opacity)
+    carry = jax.lax.sort((key, xy0g, w_spl, m2x, m2y, qab, qcd, rgba),
+                         num_keys=1, is_stable=False)
+    (_, xy0g, w_spl, m2x_s, m2y_s, qab, qcd, rgba) = carry
+    y0s = (xy0g >> 7) & 0xFFF
+    rows_s = (xy0g >> 19) & 0xFFF
+    # units = row-group bands the footprint crosses
+    units_n = jnp.where(rows_s > 0,
+                        (y0s + rows_s - 1) // k - y0s // k + 1, 0)
+    units_total = jnp.sum(units_n)
+    uoff = jnp.cumsum(units_n)
+    ubase = jnp.where(units_n > 0, uoff - units_n, _DEAD_BASE)
+
+    # --- level-1 expand: splats -> units (fused kernel: in-kernel merge,
+    # no dense N+MU-row sorts — sort_probe 2026-08-21) ---
+    from gsrt.ops.pair_expand import expand_pairs_fused
+    bi = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    tab1 = jnp.stack([bi(xy0g), bi(w_spl), bi(ubase),
+                      m2x_s, m2y_s, bi(qab), bi(qcd), bi(rgba)], axis=0)
+    e = jax.lax.bitcast_convert_type(
+        expand_pairs_fused(tab1, ubase, max_units, interpret=interpret),
+        jnp.int32)                                       # [8, MU]
+    geoA, w_e, ubase_e = e[0], e[1], e[2]
+    uslot = jnp.arange(max_units, dtype=jnp.int32)
+    valid_u = uslot < jnp.minimum(units_total, max_units)
+    rank_u = jnp.maximum(uslot - ubase_e, 0)
+    x0_e = geoA & 0x7F
+    y0_e = (geoA >> 7) & 0xFFF
+    rows_e = (geoA >> 19) & 0xFFF
+    gid = y0_e // k + rank_u
+    ys = jnp.maximum(y0_e, gid * k)
+    ye = jnp.minimum(y0_e + rows_e - 1, gid * k + (k - 1))
+    rows_u = jnp.where(valid_u, ye - ys + 1, 0)
+
+    # --- THE sort: stable by group id at unit scale (dead units sink via
+    # the n_groups sentinel and keep rows_u = 0). Sort cost scales per
+    # operand: rows_u (<= k <= 31) rides the 5 spare bits of the geometry
+    # word's 12-bit x field (x0 <= 127), keeping the sort at 7 operands ---
+    ukey = jnp.where(valid_u, gid, n_groups)
+    xgeo2 = x0_e | (rows_u << 7) | (ys << 12) | (w_e << 24)
+    sorted_u = jax.lax.sort(
+        (ukey, xgeo2, e[3], e[4], e[5], e[6], e[7]),
+        num_keys=1, is_stable=True)
+    (_, xgeo2, m2x_u, m2y_u, qab_u, qcd_u, rgba_u) = sorted_u
+    rows_u = (xgeo2 >> 7) & 0x1F
+    xgeo2 = xgeo2 & ~jnp.int32(0x1F << 7)            # kernel emit format
+    w_u = jnp.maximum((xgeo2 >> 24) & 0x7F, 1)
+    touched_u = jnp.where(rows_u > 0, rows_u * w_u, 0)
+    poff = jnp.cumsum(touched_u)
+    pbase = jnp.where(touched_u > 0, poff - touched_u, _DEAD_BASE)
+
+    # --- level-2 fused binned expand: units -> final payload rows ---
+    tab2 = jax.lax.bitcast_convert_type(
+        jnp.stack([xgeo2, pbase, m2x_u, m2y_u, qab_u, qcd_u, rgba_u,
+                   jnp.zeros_like(rgba_u)], axis=0), jnp.float32)
+    rb = expand_pairs_binned(
+        tab2, pbase, max_pairs, total=jnp.minimum(total, max_pairs),
+        ntx=ntx, T=T, tile_w=tile_w, tile_h=tile_h,
+        interpret=interpret)                             # [8, MP] int32
+
+    pad = chunk + 128
+    zeros_row = jnp.zeros_like(rb[0])
+    payload = jnp.stack(
+        [rb[0], rb[1], rb[2], rb[3], jnp.minimum(rb[4], T)]
+        + [zeros_row] * (COMPACT_STORE - COMPACT_WIDTH), axis=0)
+    tail = jnp.where(
+        jnp.arange(COMPACT_STORE)[:, None] == COMPACT_WIDTH - 1,
+        jnp.full((COMPACT_STORE, pad), T, jnp.int32),
+        jnp.zeros((COMPACT_STORE, pad), jnp.int32))
+    payload = jnp.concatenate([payload, tail], axis=1)
+
+    return TileBinning(
+        payload=payload,
+        tile_start=tile_start,
+        tile_count=counts,
+        total_pairs=total.astype(jnp.int32),
+        overflow=overflow | (units_total > max_units),
+        pair_depth=unpack_bf16_lo(rb[2]) if carry_depth else None,
+    )
+
+
 def _build_compact(
     depth, m2x, m2y, qa_c, qb_c, qc_c, opacity, cr, cg, cb,
     x0, x1, y0, y1, touched, *, ntx, nty, T, tile_w, tile_h, chunk,
@@ -882,7 +1045,11 @@ def _finish_compact(
     pair_depth_s = unpack_bf16_lo(sorted_ops[3]) if carry_depth else None
 
     # --- 5-row int32 payload; dead rows zero (opacity 0 → inert), tile
-    # row keeps the T sentinel ---
+    # row keeps the T sentinel. NOTE: zeroing every feature row here is
+    # cosmetic — rgba = 0 alone inerts a lane in the kernel; the binned
+    # and group-stream emit paths zero ONLY rgba, so payload bytes on
+    # dead lanes differ across paths (blend output is identical,
+    # verified by the parity tests) ---
     dead = tile_s >= T
     pad = chunk + 128
     zeros_row = jnp.zeros_like(tile_s)

@@ -116,7 +116,8 @@ def _serving_step(fm: FMCloud, camera: Camera, cutoff_map, cfg: RenderConfig,
         aux, out.trans, cutoff_map,
         width=camera.width, height=camera.height,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h, bs=cfg.blend_bs,
-        chunk=cfg.pair_chunk,
+        chunk=min(cfg.pair_chunk, 128),  # must match render_tiled's
+                                         # serving-mode kernel chunk
         term_eps=1e-4, margin=margin, floor_pairs=floor_pairs)
     scalars = jnp.stack([
         # violations only mean "a culled frame degraded" — without the

@@ -27,6 +27,25 @@ def _cmp(cloud, camera, cfg, max_pairs):
                                rtol=1e-3, atol=4e-4)
 
 
+@pytest.mark.parametrize("chunk", [256, 384])
+def test_packed_nondefault_pair_chunk(chunk):
+    """The cw (pair_chunk) generalization of the kernel — cw-wide DMA,
+    (cw, cw) segment matrix, roll scan depth — at non-default chunks
+    (384 = the value the config cites as measured-best on the 128x8
+    kernel, and a non-power-of-two multiple of 128)."""
+    cloud, camera = random_cloud(200, seed=7, width=96, height=64)
+    cfg = RenderConfig(width=96, height=64, conic_mode="standard",
+                       tile_w=16, tile_h=16, blend_impl="packed",
+                       payload="f32", blend_math="f32", pair_chunk=chunk)
+    ref = RenderConfig(width=96, height=64, conic_mode="standard",
+                       tile_w=16, tile_h=16, blend_impl="packed",
+                       payload="f32", blend_math="f32")
+    a = render_tiled(cloud, camera, ref, max_pairs=1 << 14, interpret=True)
+    b = render_tiled(cloud, camera, cfg, max_pairs=1 << 14, interpret=True)
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("tw,th", [(16, 16), (32, 8)])
 def test_packed_matches_fast(tw, th):
     cloud, camera = random_cloud(150, seed=3, width=96, height=48)

@@ -28,10 +28,16 @@ MP = 1 << 16
 def _cfg(**kw):
     # serving_super=2: the test image is only 6x4 tiles, so the default
     # 8x8-tile supertile would span the whole frame and any unsaturated
-    # edge tile would veto the entire cull
+    # edge tile would veto the entire cull.
+    # stream="tile" + pair_chunk=128: serving itself forces this tier
+    # (render_tiled gates the group stream off and clamps the kernel
+    # chunk for saturation-position granularity) — pinning it here keeps
+    # the serving-vs-plain comparisons config-matched, so they test the
+    # serving FLAG's passivity rather than the tier switch
     return RenderConfig(width=W, height=H, conic_mode="standard",
                         tile_w=16, tile_h=16, blend_impl="packed",
-                        serving_super=2, **kw)
+                        serving_super=2, stream="tile", pair_chunk=128,
+                        **kw)
 
 
 def _dense_cloud(n=1500, seed=7):

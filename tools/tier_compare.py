@@ -49,6 +49,8 @@ def run_one(expand: str, payload: str, span: str, scan: str,
     if os.environ.get("GSRT_TILE"):
         tw, th = os.environ["GSRT_TILE"].split("x")
         extra["tile_w"], extra["tile_h"] = int(tw), int(th)
+    if os.environ.get("GSRT_STREAM"):
+        extra["stream"] = os.environ["GSRT_STREAM"]
     cfg = RenderConfig(width=W, height=H, conic_mode="standard",
                        expand_impl=expand, payload=payload,
                        span_mode=span, scan_impl=scan, blend_math=math,
