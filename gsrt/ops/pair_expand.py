@@ -583,6 +583,15 @@ def expand_pairs_fused(tabf: jnp.ndarray, base: jnp.ndarray, max_pairs: int,
 
 def _expand_fused_common(tabf, base, max_pairs, *, chunk, interpret,
                          emit, total):
+    # The fused kernel prefetches its 128-pair-granular coarse ranks into
+    # SMEM: [mp_pad/128 + 3] int32. SMEM is 1 MB on v5e, so huge pair
+    # buffers (> ~2^24 pairs; seen at 50M+ pairs when a close-up camera
+    # inflates every footprint) must fall back to the plain kernel, whose
+    # only SMEM operand is the tiny per-chunk src_start row (the dense
+    # s(p) row streams from HBM).
+    if max_pairs // 128 + 3 > (1 << 17):
+        return expand_pairs(tabf, base, max_pairs, chunk=chunk,
+                            interpret=interpret, emit=emit, total=total)
     rows = tabf.shape[0]
     assert rows % 8 == 0, "table rows must fill whole f32 sublane tiles"
     assert chunk % 128 == 0

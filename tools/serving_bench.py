@@ -55,14 +55,21 @@ def main() -> int:
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        conic_mode="standard")
+    # headline footprint statistics (bench.py's cloud): without the
+    # scale_range the default splat scales at extent 4.0 inflate to
+    # ~50M pairs/frame — a different workload than the 1080p headline
     cloud, _ = random_cloud(args.splats, seed=0, extent=4.0,
-                            width=args.width, height=args.height)
+                            width=args.width, height=args.height,
+                            scale_range=(0.004, 0.03))
     path = orbit_path((0, 0, 6.0), args.radius, args.frames,
                       height=2.0, width=args.width, height_px=args.height,
                       degrees=args.degrees, start_deg=200.0)
 
-    # --- cold baseline: fresh full render every frame (reference loop) ---
-    rt = GaussianRayTracer(cfg, "tiled", interpret=args.interpret)
+    # --- cold baseline: fresh full render every frame (reference loop);
+    # defer_overflow pipelines the per-frame overflow check (a sync scalar
+    # fetch costs a ~30 ms tunnel round-trip per frame) ---
+    rt = GaussianRayTracer(cfg, "tiled", interpret=args.interpret,
+                           defer_overflow=4)
     out = rt(cloud, path[0])                      # calibrate + compile
     jax.block_until_ready(out.trans)
     t0 = time.perf_counter()
