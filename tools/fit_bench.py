@@ -105,9 +105,51 @@ def main() -> int:
     ap.add_argument("--opacity-reset-every", type=int, default=900)
     ap.add_argument("--fresh", action="store_true",
                     help="re-synthesize the capture even if --dir exists")
+    ap.add_argument("--max-pairs", type=int, default=1 << 20,
+                    help="tiled custom-VJP loss pair bucket (0 = the "
+                         "brute-force AD loss — OOMs beyond ~300x300 px: "
+                         "its chunked VJP residuals are "
+                         "[chunks, pixels, feat] in HBM)")
     ap.add_argument("--save-ply", type=str, default=None)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--probe-step", type=int, default=None,
+                    help="internal: time one train step at N splats in a "
+                         "fresh process and print ms (the axon runtime "
+                         "cannot re-execute the step after the eval "
+                         "renders ran in-process)")
     args = ap.parse_args()
+    mp = args.max_pairs if args.max_pairs > 0 else None
+
+    if args.probe_step is not None:
+        import jax
+        from gsrt.core.config import RenderConfig
+        from gsrt.models.densify import init_stats
+        from gsrt.models.multiview import (make_train_step_mv,
+                                           viewset_from_colmap)
+        from gsrt.models.trainer import init_params_from_points, \
+            make_optimizer
+        vs, _, extent = viewset_from_colmap(
+            args.dir, os.path.join(args.dir, "images"))
+        cfg = RenderConfig(width=vs.width, height=vs.height,
+                           conic_mode="standard")
+        n = args.probe_step
+        rngp = np.random.default_rng(0)
+        pts = rngp.uniform(-extent, extent, (n, 3)).astype(np.float32)
+        cols = rngp.uniform(0.2, 0.8, (n, 3)).astype(np.float32)
+        params = init_params_from_points(pts, cols)
+        optimizer = make_optimizer(lr_means=1.6e-4 * extent)
+        opt_state = optimizer.init(params)
+        stats = init_stats(n)
+        step = make_train_step_mv(cfg, optimizer, 0.2, max_pairs=mp)
+        out = step(params, opt_state, stats, vs, 0)
+        jax.block_until_ready(out[0].means)
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = step(params, opt_state, stats, vs, 0)
+        jax.block_until_ready(out[0].means)
+        print((time.perf_counter() - t0) / reps * 1e3)
+        return 0
 
     if args.fresh and os.path.isdir(args.dir):
         shutil.rmtree(args.dir)
@@ -133,27 +175,25 @@ def main() -> int:
         vs, params, cfg, iters=args.iters, holdout=args.holdout,
         densify_every=args.densify_every, scene_scale=extent,
         opacity_reset_every=args.opacity_reset_every,
-        max_splats=args.max_gaussians, seed=0,
+        max_splats=args.max_gaussians, seed=0, max_pairs=mp,
         log_every=max(1, args.iters // 10))
     fit_wall = time.perf_counter() - t0
 
-    # steady-state step time at the FINAL splat count: re-run the jitted
-    # train step on one view, compile + warm excluded
-    from gsrt.models.densify import init_stats
-    from gsrt.models.multiview import make_train_step_mv
-    from gsrt.models.trainer import make_optimizer
-    optimizer = make_optimizer(lr_means=1.6e-4 * extent)
-    opt_state = optimizer.init(params)
-    stats = init_stats(params.means.shape[0])
-    step = make_train_step_mv(cfg, optimizer, 0.2)
-    out = step(params, opt_state, stats, vs, 0)
-    jax.block_until_ready(out[0].means)
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step(params, opt_state, stats, vs, 0)
-    jax.block_until_ready(out[0].means)
-    step_ms = (time.perf_counter() - t0) / reps * 1e3
+    # steady-state step time at the FINAL splat count — in a SUBPROCESS:
+    # the axon TPU runtime raises InvalidArgument when re-executing the
+    # train step after another sizable executable (fit_views' eval
+    # renders) ran in this process (tools/tpu_smoke.py docstring)
+    import subprocess
+    probe = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--probe-step",
+         str(rep.n_splats), "--dir", args.dir, "--max-pairs",
+         str(args.max_pairs)],
+        capture_output=True, text=True, timeout=1200)
+    try:
+        step_ms = float(probe.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        print(probe.stderr[-2000:], file=sys.stderr)
+        step_ms = float("nan")
 
     if args.save_ply:
         from gsrt.scene.ply import save_gaussian_ply
