@@ -90,6 +90,109 @@ def synthesize_capture(root: str, *, n_gt: int, n_views: int,
     return extent
 
 
+STATE = "fit_state.npz"
+
+
+def _save_state(path, params, opt_state, stats, it):
+    leaves_p = jax.tree_util.tree_leaves(params)
+    leaves_o = jax.tree_util.tree_leaves(opt_state)
+    leaves_s = jax.tree_util.tree_leaves(stats)
+    np.savez(path, it=it,
+             **{f"p{i}": np.asarray(x) for i, x in enumerate(leaves_p)},
+             **{f"o{i}": np.asarray(x) for i, x in enumerate(leaves_o)},
+             **{f"s{i}": np.asarray(x) for i, x in enumerate(leaves_s)})
+
+
+def _load_state(path, params0, optimizer):
+    """Rebuild (params, opt_state, stats, it) from the npz: the treedefs
+    come from freshly-built templates of the SAME code, the leaves from
+    disk (leaf order is deterministic for a fixed structure)."""
+    from gsrt.models.densify import init_stats
+    z = np.load(path)
+    n = z["p0"].shape[0]
+    pt = jax.tree_util.tree_structure(params0)
+    params = jax.tree_util.tree_unflatten(
+        pt, [z[f"p{i}"] for i in range(len(
+            jax.tree_util.tree_leaves(params0)))])
+    tmpl_o = optimizer.init(params)
+    ot = jax.tree_util.tree_structure(tmpl_o)
+    opt_state = jax.tree_util.tree_unflatten(
+        ot, [z[f"o{i}"] for i in range(len(
+            jax.tree_util.tree_leaves(tmpl_o)))])
+    tmpl_s = init_stats(n)
+    st = jax.tree_util.tree_structure(tmpl_s)
+    stats = jax.tree_util.tree_unflatten(
+        st, [z[f"s{i}"] for i in range(len(
+            jax.tree_util.tree_leaves(tmpl_s)))])
+    return params, opt_state, stats, int(z["it"])
+
+
+def run_segment(args, mp) -> int:
+    """One subprocess unit of the fit: either a densify-bounded run of
+    train steps (--segment) or the holdout-PSNR eval (--eval-state)."""
+    import jax.numpy as jnp
+
+    from gsrt.core.config import RenderConfig
+    from gsrt.models.densify import densify_and_prune, init_stats, \
+        reset_opacity
+    from gsrt.models.multiview import (eval_psnr, holdout_split,
+                                       make_train_step_mv,
+                                       viewset_from_colmap)
+    from gsrt.models.trainer import make_optimizer
+
+    vs, params0, extent = viewset_from_colmap(
+        args.dir, os.path.join(args.dir, "images"))
+    cfg = RenderConfig(width=vs.width, height=vs.height,
+                       conic_mode="standard")
+    optimizer = make_optimizer(lr_means=1.6e-4 * extent)
+    spath = os.path.join(args.dir, STATE)
+    train_idx, test_idx = holdout_split(vs.n_views, args.holdout)
+    if os.path.exists(spath):
+        params, opt_state, stats, it = _load_state(spath, params0,
+                                                   optimizer)
+    else:
+        params, it = params0, 0
+        opt_state = optimizer.init(params)
+        stats = init_stats(params.means.shape[0])
+
+    if args.eval_state:
+        print(json.dumps({
+            "n_splats": int(params.means.shape[0]), "it": it,
+            "train_psnr": eval_psnr(params, vs, train_idx[:8], cfg),
+            "test_psnr": eval_psnr(params, vs, test_idx[:8], cfg)}))
+        return 0
+
+    # deterministic cross-process view order: epoch e = permutation
+    # seeded (seed, e)
+    total = args.iters
+    seg = args.densify_every if args.densify_every else total
+    end = min(it + seg, total)
+    step = make_train_step_mv(cfg, optimizer, 0.2, max_pairs=mp)
+    ne = len(train_idx)
+    loss = float("nan")
+    for i in range(it, end):
+        e, o = divmod(i, ne)
+        order = np.random.default_rng((0, e)).permutation(train_idx)
+        params, opt_state, stats, loss = step(
+            params, opt_state, stats, vs, jnp.int32(int(order[o])))
+    loss = float(loss)
+    n_before = n_after = int(params.means.shape[0])
+    if (args.densify_every and end < total
+            and end < total * 0.75):
+        params, opt_state, stats, rep = densify_and_prune(
+            params, opt_state, stats, grad_threshold=2e-4,
+            scale_threshold=0.01 * extent,
+            max_splats=args.max_gaussians, seed=end)
+        n_after = int(params.means.shape[0])
+        if args.opacity_reset_every and \
+                end % args.opacity_reset_every < seg:
+            params = reset_opacity(params)
+    _save_state(spath, params, opt_state, stats, end)
+    print(json.dumps({"it": end, "loss": round(loss, 5),
+                      "n_before": n_before, "n_after": n_after}))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", type=str, default="/tmp/gsrt_fit_capture")
@@ -117,17 +220,28 @@ def main() -> int:
                          "fresh process and print ms (the axon runtime "
                          "cannot re-execute the step after the eval "
                          "renders ran in-process)")
+    ap.add_argument("--segment", action="store_true",
+                    help="internal: run ONE densify-bounded training "
+                         "segment from the checkpoint and exit — the "
+                         "axon runtime cannot re-execute the train step "
+                         "after the densify executables ran in-process, "
+                         "so the INRIA schedule runs as a chain of "
+                         "subprocess segments")
+    ap.add_argument("--eval-state", action="store_true",
+                    help="internal: holdout PSNR of the checkpoint")
     args = ap.parse_args()
     mp = args.max_pairs if args.max_pairs > 0 else None
 
+    if args.segment or args.eval_state:
+        return run_segment(args, mp)
+
     if args.probe_step is not None:
-        import jax
         from gsrt.core.config import RenderConfig
         from gsrt.models.densify import init_stats
         from gsrt.models.multiview import (make_train_step_mv,
                                            viewset_from_colmap)
-        from gsrt.models.trainer import init_params_from_points, \
-            make_optimizer
+        from gsrt.models.trainer import make_optimizer
+        from gsrt.scene.colmap import init_params_from_points
         vs, _, extent = viewset_from_colmap(
             args.dir, os.path.join(args.dir, "images"))
         cfg = RenderConfig(width=vs.width, height=vs.height,
@@ -161,23 +275,49 @@ def main() -> int:
         print(f"capture synthesized in {time.perf_counter() - t0:.1f}s "
               f"-> {args.dir}", file=sys.stderr)
 
-    from gsrt.core.config import RenderConfig
-    from gsrt.models.multiview import fit_views, viewset_from_colmap
+    from gsrt.scene.colmap import load_colmap_model
 
-    vs, params, extent = viewset_from_colmap(
-        args.dir, os.path.join(args.dir, "images"))
-    cfg = RenderConfig(width=vs.width, height=vs.height,
-                       conic_mode="standard")
-    n_init = int(params.means.shape[0])
+    n_init = load_colmap_model(
+        os.path.join(args.dir, "sparse", "0")).points.shape[0]
 
+    # subprocess-segmented INRIA schedule (see --segment help): steps run
+    # as the only sizable executable per process; densify runs LAST in
+    # its segment's process; state checkpoints through <dir>/fit_state.npz
+    import subprocess
+    spath = os.path.join(args.dir, STATE)
+    if os.path.exists(spath):
+        os.remove(spath)
+    seg = args.densify_every if args.densify_every else args.iters
     t0 = time.perf_counter()
-    params, rep = fit_views(
-        vs, params, cfg, iters=args.iters, holdout=args.holdout,
-        densify_every=args.densify_every, scene_scale=extent,
-        opacity_reset_every=args.opacity_reset_every,
-        max_splats=args.max_gaussians, seed=0, max_pairs=mp,
-        log_every=max(1, args.iters // 10))
+    it = 0
+    seg_args = [sys.executable, os.path.abspath(__file__),
+                "--dir", args.dir, "--iters", str(args.iters),
+                "--densify-every", str(args.densify_every),
+                "--opacity-reset-every", str(args.opacity_reset_every),
+                "--max-gaussians", str(args.max_gaussians),
+                "--holdout", str(args.holdout),
+                "--max-pairs", str(args.max_pairs)]
+    while it < args.iters:
+        r = subprocess.run(seg_args + ["--segment"], capture_output=True,
+                           text=True, timeout=2400)
+        if r.returncode != 0:
+            print(r.stderr[-3000:], file=sys.stderr)
+            return 1
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        it = info["it"]
+        print(f"iter {it:5d}  loss {info['loss']:.5f}  "
+              f"splats {info['n_before']}->{info['n_after']}",
+              file=sys.stderr)
     fit_wall = time.perf_counter() - t0
+
+    r = subprocess.run(seg_args + ["--eval-state"], capture_output=True,
+                       text=True, timeout=2400)
+    ev = json.loads(r.stdout.strip().splitlines()[-1])
+
+    class rep:   # shim for the report fields below
+        n_splats = ev["n_splats"]
+        train_psnr = ev["train_psnr"]
+        test_psnr = ev["test_psnr"]
 
     # steady-state step time at the FINAL splat count — in a SUBPROCESS:
     # the axon TPU runtime raises InvalidArgument when re-executing the
@@ -204,8 +344,8 @@ def main() -> int:
 
     row = {
         "workload": "fit_colmap_synthetic",
-        "gt_splats": args.gt_splats, "views": vs.n_views,
-        "width": vs.width, "height": vs.height,
+        "gt_splats": args.gt_splats, "views": args.views,
+        "width": args.width, "height": args.height,
         "iters": args.iters, "init_points": n_init,
         "final_splats": rep.n_splats,
         "train_psnr_db": round(rep.train_psnr, 2),
